@@ -1,0 +1,54 @@
+"""Tiled pairwise squared distances — the MXU workhorse behind every
+neighbor-search op.
+
+||a-b||^2 = |a|^2 + |b|^2 - 2 a.b : the cross term is a matmul that XLA tiles
+onto the MXU (SURVEY.md §2.1 item 3). All consumers chunk the query axis to
+bound HBM footprint.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(1e30)
+
+
+def pairwise_sqdist(a: jax.Array, b: jax.Array,
+                    b_mask: Optional[jax.Array] = None) -> jax.Array:
+    """[M,3] x [N,3] -> [M,N] squared distances (f32).
+
+    Masked-out db points get distance BIG so they never win a min/top-k.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)          # [M,1]
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True).T        # [1,N]
+    cross = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
+    if b_mask is not None:
+        d2 = jnp.where(b_mask[None, :], d2, BIG)
+    return d2
+
+
+def chunked_min_argmin(query: jax.Array, db: jax.Array,
+                       db_mask: Optional[jax.Array] = None,
+                       query_chunk: int = 2048):
+    """Nearest neighbor (k=1) of each query point, O(M*N) tiled.
+
+    Returns (dist2 [M], idx [M]). The streaming structure keeps peak memory at
+    query_chunk x N.
+    """
+    m = query.shape[0]
+    pad = (-m) % query_chunk
+    q = jnp.pad(query, ((0, pad), (0, 0)))
+    q = q.reshape(-1, query_chunk, 3)
+
+    def one_chunk(qc):
+        d2 = pairwise_sqdist(qc, db, db_mask)
+        return jnp.min(d2, axis=1), jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    d2, idx = jax.lax.map(one_chunk, q)
+    return d2.reshape(-1)[:m], idx.reshape(-1)[:m]
