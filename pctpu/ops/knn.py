@@ -123,10 +123,19 @@ def radius_search(query: jax.Array, db: jax.Array, radius: float,
     return NeighborSet(idx, d2, valid, cnt)
 
 
-@partial(jax.jit, static_argnames=("query_chunk",))
 def nearest(query: jax.Array, db: jax.Array,
             db_mask: Optional[jax.Array] = None,
-            query_chunk: int = 2048):
-    """1-NN: (dist2 [M], idx [M]). The ICP association primitive."""
+            query_chunk: int = 2048,
+            backend: str = "auto"):
+    """1-NN: (dist2 [M], idx [M]). The ICP association primitive.
+
+    backend: 'pallas' (fused VMEM-resident kernel, TPU only), 'xla'
+    (portable tiled fallback), or 'auto' (pallas on TPU, xla elsewhere).
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from pctpu.ops.pallas_nn import nearest_pallas
+        return nearest_pallas(query, db, db_mask)
     from pctpu.ops.pairwise import chunked_min_argmin
     return chunked_min_argmin(query, db, db_mask, query_chunk)

@@ -1,0 +1,156 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from pctpu.core import se3
+from pctpu.core.cloud import PointCloud
+from pctpu import register
+
+
+def make_pair(rng, n=1000, angle_deg=10.0, trans=1.0, noise=0.0):
+    src = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    R = Rotation.from_rotvec(np.radians(angle_deg) * axis).as_matrix().astype(np.float32)
+    t = (rng.normal(size=3) * trans).astype(np.float32)
+    dst = src @ R.T + t
+    if noise:
+        dst = dst + rng.normal(scale=noise, size=dst.shape).astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return src, dst, T
+
+
+def test_weighted_procrustes_exact(rng):
+    src, dst, T = make_pair(rng, n=200)
+    R, t = register.weighted_procrustes(jnp.asarray(src), jnp.asarray(dst))
+    np.testing.assert_allclose(np.asarray(R), T[:3, :3], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), T[:3, 3], atol=1e-4)
+
+
+def test_weighted_procrustes_weights_ignore_outliers(rng):
+    src, dst, T = make_pair(rng, n=200)
+    dst_bad = dst.copy()
+    dst_bad[:50] += 100.0  # gross outliers
+    w = np.ones(200, np.float32)
+    w[:50] = 0.0
+    R, t = register.weighted_procrustes(
+        jnp.asarray(src), jnp.asarray(dst_bad), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(R), T[:3, :3], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), T[:3, 3], atol=1e-3)
+
+
+def test_procrustes_no_reflection(rng):
+    # degenerate: planar points with mirrored target tempts reflection
+    src = rng.normal(size=(100, 3)).astype(np.float32)
+    src[:, 2] = 0
+    dst = src.copy()
+    dst[:, 0] = -dst[:, 0]
+    R, t = register.weighted_procrustes(jnp.asarray(src), jnp.asarray(dst))
+    assert np.linalg.det(np.asarray(R)) > 0.99
+
+
+def _cloud(x):
+    return PointCloud.from_numpy(x)
+
+
+def test_icp_point_to_point_converges(rng):
+    src, dst, T_gt = make_pair(rng, n=2000, angle_deg=8, trans=0.5)
+    ps, pd = _cloud(src), _cloud(dst)
+    res = register.icp_point_to_point(
+        ps.points, ps.mask, pd.points, pd.mask,
+        cfg=register.ICPConfig(max_iters=50, dist_thresh=5.0,
+                               query_chunk=512))
+    rte, rre = se3.pose_diff_rte_rre(res.T, jnp.asarray(T_gt))
+    assert float(rte) < 0.05
+    assert float(rre) < 0.5
+    assert bool(res.converged)
+    assert int(res.iters) < 50
+
+
+def test_icp_point_to_plane_converges(rng):
+    # smooth surface: z = 0.05 x + 0.1 y plane-ish, well-conditioned for p2l
+    n = 2000
+    src = rng.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+    src[:, 2] = 0.05 * src[:, 0] + 0.1 * src[:, 1] + rng.normal(scale=0.3, size=n)
+    R = Rotation.from_rotvec([0.02, 0.03, 0.05]).as_matrix().astype(np.float32)
+    t = np.array([0.2, -0.1, 0.15], np.float32)
+    dst = src @ R.T + t
+    normals = np.asarray(jax.jit(
+        lambda p: __import__("pctpu").ops.estimate_normals(p, k=8))(
+            jnp.asarray(dst)))
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R
+    T_gt[:3, 3] = t
+    ps, pd = _cloud(src), _cloud(dst)
+    res = register.icp_point_to_plane(
+        ps.points, ps.mask, pd.points, jnp.asarray(
+            np.pad(normals, ((0, pd.capacity - n), (0, 0)), mode="edge")),
+        pd.mask,
+        cfg=register.ICPConfig(max_iters=50, dist_thresh=5.0, query_chunk=512))
+    rte, rre = se3.pose_diff_rte_rre(res.T, jnp.asarray(T_gt))
+    assert float(rte) < 0.05
+    assert float(rre) < 1.0
+
+
+def test_icp_respects_masks(rng):
+    src, dst, T_gt = make_pair(rng, n=900, angle_deg=5, trans=0.3)
+    # pad dst with garbage beyond the mask — must not affect the solution
+    pd = PointCloud.from_numpy(dst)
+    garbage = np.asarray(pd.points).copy()
+    garbage[900:] = 1e3
+    pd = PointCloud(jnp.asarray(garbage), pd.mask)
+    ps = _cloud(src)
+    res = register.icp_point_to_point(
+        ps.points, ps.mask, pd.points, pd.mask,
+        cfg=register.ICPConfig(max_iters=50, query_chunk=512))
+    rte, rre = se3.pose_diff_rte_rre(res.T, jnp.asarray(T_gt))
+    assert float(rte) < 0.05 and float(rre) < 0.5
+
+
+def test_icp_fixed_iters(rng):
+    src, dst, T_gt = make_pair(rng, n=1000, angle_deg=6, trans=0.4)
+    ps, pd = _cloud(src), _cloud(dst)
+    T = register.icp_fixed_iters(ps.points, ps.mask, pd.points, pd.mask,
+                                 iters=25, query_chunk=512)
+    rte, rre = se3.pose_diff_rte_rre(T, jnp.asarray(T_gt))
+    assert float(rte) < 0.05 and float(rre) < 0.5
+
+
+def test_ransac_registration(rng):
+    src, dst, T_gt = make_pair(rng, n=300, angle_deg=40, trans=5.0)
+    # corrupt 60% of correspondences (feature mismatches)
+    dst_corr = dst.copy()
+    bad = rng.choice(300, 180, replace=False)
+    dst_corr[bad] = rng.uniform(-20, 20, size=(180, 3))
+    res = register.ransac_registration(
+        jnp.asarray(src), jnp.asarray(dst_corr),
+        key=jax.random.PRNGKey(0), dist_thresh=0.5, num_hypotheses=2048)
+    rte, rre = se3.pose_diff_rte_rre(res.T, jnp.asarray(T_gt))
+    assert float(rte) < 0.1
+    assert float(rre) < 1.0
+    assert int(res.inliers) >= 110
+
+
+def test_evaluate_rt_files(tmp_path, rng):
+    from pctpu.core import io as pio
+    # build gt + pred files: 3 rows, one pred slightly off (success), one
+    # grossly off (failure)
+    rows_gt, rows_pred = [], []
+    for i in range(3):
+        _, _, T = make_pair(rng, n=10, angle_deg=20, trans=3.0)
+        t, q = np.asarray(T[:3, 3]), np.asarray(se3.rotmat_to_quat(jnp.asarray(T[:3, :3])))
+        rows_gt.append((i, i + 1, t, q))
+        if i == 2:
+            rows_pred.append((i, i + 1, t + 10.0, q))  # failure
+        else:
+            rows_pred.append((i, i + 1, t + 0.01, q))  # success
+    gt_p, pred_p = tmp_path / "gt.txt", tmp_path / "pred.txt"
+    pio.write_reg_results(str(gt_p), rows_gt)
+    pio.write_reg_results(str(pred_p), rows_pred)
+    out = register.evaluate.evaluate_rt(str(gt_p), str(pred_p))
+    assert out["n_success"] == 2
+    assert out["success_rate"] == 2 / 4  # reference divides incl. header
+    assert out["avg_rte"] < 0.1
