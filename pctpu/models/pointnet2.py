@@ -1,0 +1,310 @@
+"""PointNet++ building blocks and model families (flax.linen, channels-last).
+
+TPU-first re-design of the reference's torch modules
+(`pointnet2_ops/pointnet2_modules.py`, models in `pointnet2/models/`):
+
+  * layouts are channels-last ([B, N, C]) so the feature axis rides the TPU
+    lane dimension; the reference's [B, C, N] is a CUDA-coalescing choice.
+  * the sampling/grouping ops come from pctpu.ops (FPS, reference-semantics
+    ball query, three-NN interpolation) vmapped over the batch.
+  * shared MLPs are 1x1-conv-equivalent Dense+BN+ReLU stacks whose matmuls
+    land on the MXU for the whole [B, npoint, nsample] block at once.
+  * BatchNorm carries a *runtime* momentum argument so the reference's
+    BN-momentum schedule (`pointnet2_ssg_cls.py:22-48,177-186`) works under
+    jit without rebuilding modules.
+
+Layer specs match the reference exactly:
+  SSG cls:  `pointnet2_ssg_cls.py:63-98`; MSG cls: `pointnet2_msg_cls.py:11-45`
+  SSG sem:  `pointnet2_ssg_sem.py:12-63`;  MSG sem: `pointnet2_msg_sem.py:12-75`
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pctpu.ops.ball_query import ball_query
+from pctpu.ops.fps import fps
+from pctpu.ops.gather import gather_points, group_points
+from pctpu.ops.interpolate import (interpolation_weights, three_nn)
+
+
+class RuntimeBN(nn.Module):
+    """BatchNorm with torch-convention runtime momentum.
+
+    running <- (1 - momentum) * running + momentum * batch   (torch semantics,
+    so the reference's schedule values apply verbatim: start 0.5, x0.5 every
+    `bn_decay_step` epochs, floor 0.01).
+    """
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool, momentum: jax.Array | float = 0.1):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (c,))
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (c,))
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.var(x, axis=axes)
+            if not self.is_initializing():
+                m = jnp.asarray(momentum, jnp.float32)
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class SharedMLP(nn.Module):
+    """The reference's build_shared_mlp (`pointnet2_modules.py:9-19`):
+    per-point Dense (1x1 conv) + BN + ReLU per layer."""
+    channels: Sequence[int]
+    bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool, bn_momentum=0.1):
+        for c in self.channels:
+            x = nn.Dense(c, use_bias=not self.bn, dtype=x.dtype)(x)
+            if self.bn:
+                x = RuntimeBN()(x, train, bn_momentum)
+            x = nn.relu(x)
+        return x
+
+
+class SetAbstraction(nn.Module):
+    """SA module (single or multi-scale grouping).
+
+    npoint=None -> GroupAll (global abstraction), matching
+    `_PointnetSAModuleBase.forward` + `GroupAll` semantics.
+    mlps channels EXCLUDE the input dim (the torch spec's leading entry);
+    use_xyz adds relative xyz to each scale's input, as in the reference.
+    """
+    npoint: Optional[int]
+    radii: Sequence[Optional[float]]
+    nsamples: Sequence[Optional[int]]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, features, train: bool, bn_momentum=0.1):
+        """xyz [B,N,3]; features [B,N,C] or None ->
+        (new_xyz [B,npoint,3] or None, new_features [B,npoint,sum(C_out)])."""
+        if self.npoint is not None:
+            centers_idx = jax.vmap(lambda p: fps(p, self.npoint))(xyz)
+            new_xyz = gather_points(xyz, centers_idx)
+        else:
+            new_xyz = None
+
+        outs = []
+        for i, mlp_spec in enumerate(self.mlps):
+            if self.npoint is not None:
+                radius, nsample = self.radii[i], self.nsamples[i]
+                idx, _ = jax.vmap(
+                    lambda c, p: ball_query(c, p, radius, nsample)
+                )(new_xyz, xyz)
+                grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+                if features is not None:
+                    grouped_feats = group_points(features, idx)
+                    g = (jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+                         if self.use_xyz else grouped_feats)
+                else:
+                    g = grouped_xyz
+            else:  # GroupAll: one group holding the whole cloud
+                grouped_xyz = xyz[:, None, :, :]
+                if features is not None:
+                    gf = features[:, None, :, :]
+                    g = (jnp.concatenate([grouped_xyz, gf], axis=-1)
+                         if self.use_xyz else gf)
+                else:
+                    g = grouped_xyz
+            h = SharedMLP(mlp_spec)(g, train, bn_momentum)  # [B,np,ns,C]
+            outs.append(jnp.max(h, axis=2))                 # max over nsample
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class FeaturePropagation(nn.Module):
+    """FP module: 3-NN inverse-distance interpolation + skip concat + MLP
+    (`pointnet2_modules.py:149-209`)."""
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, unknown, known, unknown_feats, known_feats,
+                 train: bool, bn_momentum=0.1):
+        """unknown [B,n,3], known [B,m,3] or None, unknown_feats [B,n,C1] or
+        None, known_feats [B,m,C2] -> [B,n,mlp[-1]]."""
+        if known is not None:
+            d2, idx = jax.vmap(lambda u, k: three_nn(u, k))(unknown, known)
+            w = interpolation_weights(d2)
+            gathered = group_points(known_feats, idx)         # [B,n,3,C2]
+            interp = jnp.sum(gathered * w[..., None], axis=-2)
+        else:
+            interp = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1],
+                              known_feats.shape[-1]))
+        x = (jnp.concatenate([interp, unknown_feats], axis=-1)
+             if unknown_feats is not None else interp)
+        return SharedMLP(self.mlp)(x, train, bn_momentum)
+
+
+def split_pointcloud(pc):
+    """[B,N,3+C] -> (xyz [B,N,3], features [B,N,C] or None) — the reference's
+    `_break_up_pc` (`pointnet2_ssg_cls.py:100-104`), channels-last."""
+    xyz = pc[..., :3]
+    features = pc[..., 3:] if pc.shape[-1] > 3 else None
+    return xyz, features
+
+
+class PointNet2ClsSSG(nn.Module):
+    """Single-scale-grouping classifier (`pointnet2_ssg_cls.py:63-98`)."""
+    num_classes: int = 40
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, pc, train: bool = False, bn_momentum=0.1):
+        xyz, features = split_pointcloud(pc)
+        in0 = (pc.shape[-1] - 3) if not self.use_xyz else None  # doc only
+        del in0
+        sa1 = SetAbstraction(512, [0.2], [64], [[64, 64, 128]],
+                             use_xyz=self.use_xyz)
+        sa2 = SetAbstraction(128, [0.4], [64], [[128, 128, 256]],
+                             use_xyz=self.use_xyz)
+        sa3 = SetAbstraction(None, [None], [None], [[256, 512, 1024]],
+                             use_xyz=self.use_xyz)
+        xyz, features = sa1(xyz, features, train, bn_momentum)
+        xyz, features = sa2(xyz, features, train, bn_momentum)
+        _, features = sa3(xyz, features, train, bn_momentum)
+        x = features[:, 0, :]                                  # [B,1024]
+        x = nn.Dense(512, use_bias=False)(x)
+        x = RuntimeBN()(x, train, bn_momentum)
+        x = nn.relu(x)
+        x = nn.Dense(256, use_bias=False)(x)
+        x = RuntimeBN()(x, train, bn_momentum)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return nn.Dense(self.num_classes)(x)
+
+
+class PointNet2ClsMSG(nn.Module):
+    """Multi-scale-grouping classifier (`pointnet2_msg_cls.py:11-45`)."""
+    num_classes: int = 40
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, pc, train: bool = False, bn_momentum=0.1):
+        xyz, features = split_pointcloud(pc)
+        sa1 = SetAbstraction(
+            512, [0.1, 0.2, 0.4], [16, 32, 128],
+            [[32, 32, 64], [64, 64, 128], [64, 96, 128]],
+            use_xyz=self.use_xyz)
+        sa2 = SetAbstraction(
+            128, [0.2, 0.4, 0.8], [32, 64, 128],
+            [[64, 64, 128], [128, 128, 256], [128, 128, 256]],
+            use_xyz=self.use_xyz)
+        sa3 = SetAbstraction(None, [None], [None], [[256, 512, 1024]],
+                             use_xyz=self.use_xyz)
+        xyz, features = sa1(xyz, features, train, bn_momentum)
+        xyz, features = sa2(xyz, features, train, bn_momentum)
+        _, features = sa3(xyz, features, train, bn_momentum)
+        x = features[:, 0, :]
+        x = nn.Dense(512, use_bias=False)(x)
+        x = RuntimeBN()(x, train, bn_momentum)
+        x = nn.relu(x)
+        x = nn.Dense(256, use_bias=False)(x)
+        x = RuntimeBN()(x, train, bn_momentum)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return nn.Dense(self.num_classes)(x)
+
+
+class PointNet2SemSegSSG(nn.Module):
+    """U-Net-style semantic segmentation, SSG (`pointnet2_ssg_sem.py:12-94`)."""
+    num_classes: int = 13
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, pc, train: bool = False, bn_momentum=0.1):
+        xyz, features = split_pointcloud(pc)
+        sas = [
+            SetAbstraction(1024, [0.1], [32], [[32, 32, 64]], self.use_xyz),
+            SetAbstraction(256, [0.2], [32], [[64, 64, 128]], self.use_xyz),
+            SetAbstraction(64, [0.4], [32], [[128, 128, 256]], self.use_xyz),
+            SetAbstraction(16, [0.8], [32], [[256, 256, 512]], self.use_xyz),
+        ]
+        fps_ = [
+            FeaturePropagation([128, 128, 128]),
+            FeaturePropagation([256, 128]),
+            FeaturePropagation([256, 256]),
+            FeaturePropagation([256, 256]),
+        ]
+        l_xyz, l_feats = [xyz], [features]
+        for sa in sas:
+            nx, nf = sa(l_xyz[-1], l_feats[-1], train, bn_momentum)
+            l_xyz.append(nx)
+            l_feats.append(nf)
+        for i in range(-1, -len(fps_) - 1, -1):
+            l_feats[i - 1] = fps_[i](
+                l_xyz[i - 1], l_xyz[i], l_feats[i - 1], l_feats[i],
+                train, bn_momentum)
+        x = l_feats[0]
+        x = nn.Dense(128, use_bias=False)(x)
+        x = RuntimeBN()(x, train, bn_momentum)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return nn.Dense(self.num_classes)(x)          # [B,N,num_classes]
+
+
+class PointNet2SemSegMSG(nn.Module):
+    """U-Net-style semantic segmentation, MSG (`pointnet2_msg_sem.py:12-75`)."""
+    num_classes: int = 13
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, pc, train: bool = False, bn_momentum=0.1):
+        xyz, features = split_pointcloud(pc)
+        sas = [
+            SetAbstraction(1024, [0.05, 0.1], [16, 32],
+                           [[16, 16, 32], [32, 32, 64]], self.use_xyz),
+            SetAbstraction(256, [0.1, 0.2], [16, 32],
+                           [[64, 64, 128], [64, 96, 128]], self.use_xyz),
+            SetAbstraction(64, [0.2, 0.4], [16, 32],
+                           [[128, 196, 256], [128, 196, 256]], self.use_xyz),
+            SetAbstraction(16, [0.4, 0.8], [16, 32],
+                           [[256, 256, 512], [256, 384, 512]], self.use_xyz),
+        ]
+        fps_ = [
+            FeaturePropagation([128, 128]),
+            FeaturePropagation([256, 256]),
+            FeaturePropagation([512, 512]),
+            FeaturePropagation([512, 512]),
+        ]
+        l_xyz, l_feats = [xyz], [features]
+        for sa in sas:
+            nx, nf = sa(l_xyz[-1], l_feats[-1], train, bn_momentum)
+            l_xyz.append(nx)
+            l_feats.append(nf)
+        for i in range(-1, -len(fps_) - 1, -1):
+            l_feats[i - 1] = fps_[i](
+                l_xyz[i - 1], l_xyz[i], l_feats[i - 1], l_feats[i],
+                train, bn_momentum)
+        x = l_feats[0]
+        x = nn.Dense(128, use_bias=False)(x)
+        x = RuntimeBN()(x, train, bn_momentum)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return nn.Dense(self.num_classes)(x)
+
+
+MODEL_REGISTRY = {
+    "cls-ssg": PointNet2ClsSSG,
+    "cls-msg": PointNet2ClsMSG,
+    "semseg-ssg": PointNet2SemSegSSG,
+    "semseg-msg": PointNet2SemSegMSG,
+}

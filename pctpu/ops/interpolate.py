@@ -5,8 +5,9 @@ top-3, then a 3-term weighted gather with atomicAdd gradient). TPU re-design:
 tiled distance + `lax.top_k` for the 3-NN; the interpolation is a pure-XLA
 weighted gather whose autodiff transpose is a deterministic scatter-add.
 
-Weight parity: w = 1/(d+1e-8), normalized — `pointnet2_modules.py:185-189`
-(note the reference adds eps to the *squared* distance; preserved).
+Weight parity: w = 1/(sqrt(d2)+1e-8), normalized — the reference's ThreeNN
+returns sqrt'd distances (`pointnet2_utils.py:124-125`) and the FP module adds
+eps to that L2 distance (`pointnet2_modules.py:185-189`).
 """
 from __future__ import annotations
 
@@ -30,8 +31,9 @@ def three_nn(query: jax.Array, db: jax.Array,
 
 
 def interpolation_weights(dist2: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """[...,3] squared distances -> normalized inverse-distance weights."""
-    recip = 1.0 / (dist2 + eps)
+    """[...,3] squared distances -> normalized inverse-L2-distance weights
+    (reference formula: 1/(sqrt(d2)+eps), normalized)."""
+    recip = 1.0 / (jnp.sqrt(dist2) + eps)
     return recip / jnp.sum(recip, axis=-1, keepdims=True)
 
 

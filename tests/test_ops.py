@@ -189,8 +189,8 @@ def test_three_nn_interpolate(rng):
     np.testing.assert_allclose(np.asarray(d2), ref_d, atol=1e-3)
     w = ops.interpolation_weights(d2)
     out = ops.three_interpolate(jnp.asarray(feats), idx, w)
-    # reference formula (pointnet2_modules.py:185-189)
-    recip = 1.0 / (ref_d + 1e-8)
+    # reference formula (pointnet2_modules.py:185-189, sqrt'd dists)
+    recip = 1.0 / (np.sqrt(ref_d) + 1e-8)
     wn = recip / recip.sum(1, keepdims=True)
     ref_out = (feats[ref_i] * wn[..., None]).sum(1)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-3)
