@@ -1,0 +1,200 @@
+"""Pipeline tests on synthetic KITTI-like frames."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pctpu.pipelines import kitti_frames
+from pctpu.pipelines.segmentation import (SegmentationConfig,
+                                          segment_ground_and_objects)
+
+
+def identity_calib():
+    return {
+        "P2": np.hstack([np.eye(3), np.zeros((3, 1))]),
+        "R0_rect": np.eye(3),
+        "Tr_velo_to_cam": np.hstack([np.eye(3), np.zeros((3, 1))]),
+    }
+
+
+def make_frame(rng, n_ground=2000, objects=3):
+    """Ground plane + a few dense box clusters in the camera FOV."""
+    pts = []
+    g = np.zeros((n_ground, 3), np.float32)
+    g[:, 0] = rng.uniform(2, 60, n_ground)
+    g[:, 1] = rng.uniform(-25, 25, n_ground)
+    g[:, 2] = rng.normal(scale=0.03, size=n_ground) - 1.7
+    pts.append(g)
+    centers = []
+    for i in range(objects):
+        c = np.array([10.0 + 12 * i, -8.0 + 8 * i, -0.8])
+        centers.append(c)
+        m = 300
+        box = rng.uniform(-0.8, 0.8, (m, 3)).astype(np.float32) * \
+            np.array([1.8, 0.8, 0.8]) + c
+        pts.append(box.astype(np.float32))
+    return np.concatenate(pts).astype(np.float32), centers
+
+
+def test_segmentation_separates_ground_and_objects(rng):
+    pts, centers = make_frame(rng)
+    from pctpu.core.cloud import PointCloud
+    pc = PointCloud.from_numpy(pts)
+    cfg = SegmentationConfig(dbscan_eps=0.8, dbscan_min_pts=5,
+                             dbscan_k_cap=48)
+    seg = segment_ground_and_objects(pc.points, pc.mask,
+                                     key=jax.random.PRNGKey(0), cfg=cfg)
+    ground = np.asarray(seg.ground_mask)
+    ids = np.asarray(seg.object_ids)
+    valid = np.asarray(pc.mask)
+    # most ground points detected
+    assert ground[:2000].mean() > 0.9
+    # each object becomes (at least part of) a cluster
+    n_clusters = len(np.unique(ids[(ids >= 0) & valid]))
+    assert n_clusters >= len(centers)
+    # object points are mostly not ground
+    assert ground[2000:pts.shape[0]].mean() < 0.2
+
+
+def test_kitti_frame_transforms_roundtrip(rng):
+    calib = {
+        "P2": np.array([[700.0, 0, 600, 40], [0, 700, 180, 1],
+                        [0, 0, 1, 0.003]]),
+        "R0_rect": np.eye(3) + rng.normal(scale=1e-3, size=(3, 3)),
+        "Tr_velo_to_cam": np.hstack([
+            np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float),
+            np.array([[0.1], [-0.05], [0.27]])]),
+    }
+    # orthonormalize R0
+    u, _, vt = np.linalg.svd(calib["R0_rect"])
+    calib["R0_rect"] = u @ vt
+    X = rng.uniform(-10, 10, (100, 3))
+    X_cam = kitti_frames.velo_to_cam(X, calib)
+    back = kitti_frames.cam_to_velo(X_cam, calib)
+    np.testing.assert_allclose(back, X, atol=1e-9)
+    pix = kitti_frames.cam_to_pixel(X_cam, calib)
+    assert pix.shape == (100, 2)
+
+
+def test_velo_to_obj_centers(rng):
+    calib = identity_calib()
+    center = np.array([5.0, 2.0, 1.0])
+    X = center[None, :] + rng.normal(scale=0.1, size=(50, 3))
+    X_obj = kitti_frames.velo_to_obj(X, calib, center, ry=0.3)
+    np.testing.assert_allclose(X_obj.mean(axis=0), 0.0, atol=0.05)
+
+
+def test_trainset_generation(tmp_path, rng):
+    # build a fake extracted dataset
+    from pctpu.pipelines import trainset
+    input_dir = tmp_path / "extracted"
+    for cat, n in [("vehicle", 3), ("misc", 6), ("pedestrian", 2),
+                   ("cyclist", 2)]:
+        os.makedirs(input_dir / cat)
+        for i in range(n):
+            m = rng.integers(10, 40)
+            arr = rng.normal(size=(m, 6)).astype(np.float32)
+            arr[:, :2] *= 3.0  # keep within ROI
+            np.savetxt(input_dir / cat / f"{i:06d}.txt", arr, delimiter=",",
+                       header="vx,vy,vz,nx,ny,nz", comments="")
+    out_dir = tmp_path / "resampled"
+    counts = trainset.generate_training_set(str(input_dir), str(out_dir),
+                                            num_sample_points=64)
+    # balancing: all classes upsampled to >= misc count
+    assert counts["misc"] == 6
+    for cat in ("vehicle", "pedestrian", "cyclist"):
+        assert counts[cat] >= 6
+    # every sample is 64x6 and zero-centered-ish
+    sample = np.loadtxt(out_dir / "vehicle" / "000000.txt", delimiter=",")
+    assert sample.shape == (64, 6)
+
+    trainset.generate_train_test_split(str(out_dir))
+    train = (out_dir / "train.txt").read_text().strip().splitlines()
+    test = (out_dir / "test.txt").read_text().strip().splitlines()
+    assert len(train) > len(test) > 0
+
+    # the KITTIResampledDataset can read it back
+    from pctpu.nn.data import KITTIResampledDataset
+    ds = KITTIResampledDataset(str(out_dir), "train.txt")
+    x, y = ds[0]
+    assert x.shape == (64, 6)
+    assert 0 <= y < 4
+
+
+def test_detect_frame_end_to_end(rng):
+    """Tiny end-to-end detection: random model, synthetic frame."""
+    from pctpu.nn.config import TrainConfig
+    from pctpu.nn import train as T
+    from pctpu.pipelines.detect import DetectConfig, detect_frame
+
+    pts, centers = make_frame(rng, n_ground=1500, objects=2)
+    cfg = TrainConfig(model="cls-ssg", num_classes=4, num_points=64,
+                      batch_size=4)
+    rngk = jax.random.PRNGKey(0)
+    model, state = T.create_train_state(cfg, rngk,
+                                        jax.random.normal(rngk, (4, 64, 6)))
+    rows = detect_frame(
+        pts, identity_calib(), model, state,
+        cfg=DetectConfig(batch_size=4),
+        seg_cfg=SegmentationConfig(dbscan_eps=0.8, dbscan_min_pts=5,
+                                   dbscan_k_cap=48))
+    # untrained model -> arbitrary classes, but rows must be well-formed
+    for row in rows:
+        parts = row.split()
+        assert len(parts) == 16
+        assert parts[0] in ("Car", "Pedestrian", "Cyclist")
+        float(parts[-1])
+
+
+def test_modelnet_dataset(tmp_path, rng):
+    from pctpu.nn.data import ModelNet40Dataset, iterate_batches
+    cats = ["airplane", "chair"]
+    (tmp_path / "modelnet40_shape_names.txt").write_text("\n".join(cats))
+    ids = []
+    for cat in cats:
+        os.makedirs(tmp_path / cat)
+        for i in range(3):
+            sid = f"{cat}_{i:04d}"
+            arr = rng.normal(size=(200, 6)).astype(np.float32)
+            np.savetxt(tmp_path / cat / (sid + ".txt"), arr, delimiter=",")
+            ids.append(sid)
+    (tmp_path / "modelnet40_train.txt").write_text("\n".join(ids))
+    ds = ModelNet40Dataset(str(tmp_path), num_points=128, train=True)
+    assert len(ds) == 6
+    x, y = ds[0]
+    assert x.shape == (128, 6)
+    # xyz normalized to unit sphere
+    assert np.max(np.linalg.norm(x[:, :3], axis=1)) <= 1.0 + 1e-5
+    batches = list(iterate_batches(ds, 2, seed=0))
+    assert len(batches) == 3
+    assert batches[0][0].shape == (2, 128, 6)
+
+
+def test_augmentations(rng):
+    from pctpu.nn import augment
+    pc = jnp.asarray(rng.normal(size=(64, 6)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    out = augment.augment(key, pc)
+    assert out.shape == pc.shape
+    # rotations preserve normal magnitudes (dropout excluded: it replaces
+    # whole rows with point 0, reference semantics data_utils.py:134-141)
+    out_norot = augment.augment(
+        key, pc, pipeline=("scale", "rotate_y", "rotate_perturbation",
+                           "translate"))
+    nrm = np.linalg.norm(np.asarray(out_norot)[:, 3:6], axis=1)
+    orig = np.linalg.norm(np.asarray(pc)[:, 3:6], axis=1)
+    np.testing.assert_allclose(nrm, orig, rtol=1e-4)
+    # pc_normalize
+    normed = augment.pc_normalize(pc[None])[0]
+    assert float(jnp.max(jnp.linalg.norm(normed[:, :3], axis=1))) <= 1 + 1e-5
+
+
+def test_batch_augment_differs_per_sample(rng):
+    from pctpu.nn import augment
+    pc = jnp.asarray(np.tile(rng.normal(size=(1, 32, 3)), (4, 1, 1))
+                     .astype(np.float32))
+    out = np.asarray(augment.augment_batch(jax.random.PRNGKey(1), pc,
+                                           pipeline=("rotate_y",)))
+    assert not np.allclose(out[0], out[1])
