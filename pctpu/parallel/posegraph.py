@@ -1,0 +1,159 @@
+"""Pose-graph optimization (Gauss-Newton over SE(3)) — single-device and
+edge-sharded multi-device.
+
+The SLAM backend capability of BASELINE.json ("distributed pose-graph BA...
+psum reductions"): poses from the pair-sweep front end (scan-to-scan ICP)
+are refined jointly against relative-pose edge measurements.
+
+Residual per edge (i, j, T_meas): r = [Log_SO3(R_err), t_err] of
+T_err = T_meas^-1 . T_i^-1 . T_j. Per-edge [6,6] Jacobian blocks come from
+jax.jacfwd at the tangent origin (vmapped); the normal equations assemble by
+scatter-add into the dense 6M system (M = #poses; hundreds of keyframes fit
+comfortably). Gauge freedom is fixed by a strong prior on pose 0. In the
+sharded variant edges are partitioned across the mesh and the [6M,6M]/[6M]
+normal equations are `psum`'d — the Schur-style reduction of SURVEY.md §5.7.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pctpu.core import se3
+from pctpu.register.icp import _so3_exp
+
+
+def so3_log(R: jax.Array) -> jax.Array:
+    """[3,3] -> [3] rotation vector (Taylor-safe near identity)."""
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    cos_t = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    w = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    small = theta < 1e-6
+    scale = jnp.where(small, 0.5, theta / (2.0 * jnp.sin(
+        jnp.where(small, 1.0, theta))))
+    return w * scale
+
+
+def _edge_residual(eps_i, eps_j, T_i, T_j, T_meas_inv):
+    Ti = se3.make_transform(_so3_exp(eps_i[:3]), eps_i[3:]) @ T_i
+    Tj = se3.make_transform(_so3_exp(eps_j[:3]), eps_j[3:]) @ T_j
+    T_err = T_meas_inv @ se3.invert_transform(Ti) @ Tj
+    return jnp.concatenate([so3_log(T_err[:3, :3]), T_err[:3, 3]])
+
+
+class PoseGraphResult(NamedTuple):
+    poses: jax.Array     # [M,4,4]
+    final_cost: jax.Array
+    iters: jax.Array
+
+
+def _edge_terms(poses, edges_i, edges_j, T_meas_inv, weights):
+    """Per-edge residuals + Jacobian blocks, vmapped. Returns
+    (r [E,6], Ji [E,6,6], Jj [E,6,6])."""
+    zero = jnp.zeros((6,), jnp.float32)
+
+    def one(i, j, Tmi, w):
+        f_i = lambda e: _edge_residual(e, zero, poses[i], poses[j], Tmi)
+        f_j = lambda e: _edge_residual(zero, e, poses[i], poses[j], Tmi)
+        r = f_i(zero)
+        Ji = jax.jacfwd(f_i)(zero)
+        Jj = jax.jacfwd(f_j)(zero)
+        sw = jnp.sqrt(w)
+        return r * sw, Ji * sw, Jj * sw
+
+    return jax.vmap(one)(edges_i, edges_j, T_meas_inv, weights)
+
+
+def _assemble(m, edges_i, edges_j, r, Ji, Jj):
+    """Scatter-add the normal equations: H [6m,6m], b [6m]."""
+    H = jnp.zeros((6 * m, 6 * m), jnp.float32)
+    b = jnp.zeros((6 * m,), jnp.float32)
+
+    JiTJi = jnp.einsum("eab,eac->ebc", Ji, Ji)
+    JjTJj = jnp.einsum("eab,eac->ebc", Jj, Jj)
+    JiTJj = jnp.einsum("eab,eac->ebc", Ji, Jj)
+    bi = -jnp.einsum("eab,ea->eb", Ji, r)
+    bj = -jnp.einsum("eab,ea->eb", Jj, r)
+
+    def block_idx(e_idx):
+        base = e_idx[:, None] * 6 + jnp.arange(6)[None, :]  # [E,6]
+        return base
+
+    ri = block_idx(edges_i)
+    rj = block_idx(edges_j)
+    # H[i,i] += JiTJi etc. via flat scatter
+    def add_blocks(H, rows, cols, vals):
+        rr = rows[:, :, None] * (6 * m) + cols[:, None, :]
+        return H.reshape(-1).at[rr.reshape(-1)].add(
+            vals.reshape(-1)).reshape(6 * m, 6 * m)
+
+    H = add_blocks(H, ri, ri, JiTJi)
+    H = add_blocks(H, rj, rj, JjTJj)
+    H = add_blocks(H, ri, rj, JiTJj)
+    H = add_blocks(H, rj, ri, jnp.swapaxes(JiTJj, 1, 2))
+    b = b.at[ri.reshape(-1)].add(bi.reshape(-1))
+    b = b.at[rj.reshape(-1)].add(bj.reshape(-1))
+    return H, b
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph(poses: jax.Array, edges_i: jax.Array,
+                        edges_j: jax.Array, T_meas: jax.Array,
+                        weights: Optional[jax.Array] = None,
+                        iters: int = 10, damping: float = 1e-6,
+                        gauge_weight: float = 1e6) -> PoseGraphResult:
+    """poses [M,4,4]; edges (i[E], j[E], T_meas [E,4,4]) with T_meas ~
+    T_i^-1 T_j. Returns optimized poses (pose 0 pinned)."""
+    m = poses.shape[0]
+    if weights is None:
+        weights = jnp.ones(edges_i.shape, jnp.float32)
+    T_meas_inv = jax.vmap(se3.invert_transform)(T_meas)
+
+    def body(_, carry):
+        poses, cost = carry
+        r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv, weights)
+        H, b = _assemble(m, edges_i, edges_j, r, Ji, Jj)
+        # gauge prior on pose 0 + Levenberg damping
+        H = H.at[jnp.arange(6), jnp.arange(6)].add(gauge_weight)
+        H = H + damping * jnp.eye(6 * m)
+        dx = jnp.linalg.solve(H, b).reshape(m, 6)
+        new_poses = jax.vmap(
+            lambda d, T: se3.make_transform(_so3_exp(d[:3]), d[3:]) @ T
+        )(dx, poses)
+        new_cost = jnp.sum(r * r)
+        return new_poses, new_cost
+
+    poses, cost = jax.lax.fori_loop(
+        0, iters, body, (poses.astype(jnp.float32), jnp.float32(0.0)))
+    return PoseGraphResult(poses, cost, jnp.int32(iters))
+
+
+def make_sharded_pose_graph_step(mesh, edge_axis: str = "data"):
+    """Edge-sharded normal-equation accumulation: each device assembles
+    H,b over its edge shard; psum combines; the solve runs replicated.
+    Returns f(poses, edges_i, edges_j, T_meas_inv, weights) -> new poses.
+    Pad the edge list (weight 0) to a multiple of the axis size."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def step(poses, edges_i, edges_j, T_meas_inv, weights):
+        m = poses.shape[0]
+        r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv, weights)
+        H, b = _assemble(m, edges_i, edges_j, r, Ji, Jj)
+        H = jax.lax.psum(H, edge_axis)
+        b = jax.lax.psum(b, edge_axis)
+        H = H.at[jnp.arange(6), jnp.arange(6)].add(1e6)
+        H = H + 1e-6 * jnp.eye(6 * m)
+        dx = jnp.linalg.solve(H, b).reshape(m, 6)
+        return jax.vmap(
+            lambda d, T: se3.make_transform(_so3_exp(d[:3]), d[3:]) @ T
+        )(dx, poses)
+
+    f = shard_map(step, mesh=mesh,
+                  in_specs=(P(), P(edge_axis), P(edge_axis), P(edge_axis),
+                            P(edge_axis)),
+                  out_specs=P())
+    return jax.jit(f)

@@ -1,0 +1,165 @@
+"""Multi-device tests on the 8-CPU-device mesh (SURVEY.md §4: the
+distributed tests the reference lacks entirely)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from pctpu.core import se3
+from pctpu import parallel
+
+
+def require_8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def make_pair(rng, n=512, angle=6.0, trans=0.4, seed_extra=0):
+    src = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    R = Rotation.from_rotvec(np.radians(angle) * axis).as_matrix().astype(np.float32)
+    t = (rng.normal(size=3) * trans).astype(np.float32)
+    dst = src @ R.T + t
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return src, dst, T
+
+
+def test_make_mesh_shapes():
+    require_8()
+    mesh = parallel.make_mesh((("pair", 4), ("point", 2)))
+    assert mesh.devices.shape == (4, 2)
+    mesh2 = parallel.make_mesh((("data", -1),))
+    assert mesh2.devices.size == len(jax.devices())
+
+
+def test_pair_sweep_8_pairs():
+    require_8()
+    rng = np.random.default_rng(0)
+    mesh = parallel.make_mesh((("data", 8),))
+    srcs, dsts, gts = [], [], []
+    for i in range(8):
+        s, d, T = make_pair(rng, n=512)
+        srcs.append(s)
+        dsts.append(d)
+        gts.append(T)
+    src = jnp.asarray(np.stack(srcs))
+    dst = jnp.asarray(np.stack(dsts))
+    mask = jnp.ones((8, 512), bool)
+    sweep = parallel.make_pair_sweep(mesh, iters=20, query_chunk=512,
+                                     backend="xla")
+    with mesh:
+        Ts = sweep(src, mask, dst, mask)
+    for b in range(8):
+        rte, rre = se3.pose_diff_rte_rre(Ts[b], jnp.asarray(gts[b]))
+        assert float(rte) < 0.05 and float(rre) < 0.5
+
+
+def test_point_sharded_icp_matches_single_device():
+    require_8()
+    rng = np.random.default_rng(1)
+    mesh = parallel.make_mesh((("point", 8),))
+    src, dst, T_gt = make_pair(rng, n=2048, angle=8, trans=0.5)
+    f = parallel.make_point_sharded_icp(mesh, iters=25, query_chunk=256)
+    with mesh:
+        T = f(jnp.asarray(src), jnp.ones((2048,), bool),
+              jnp.asarray(dst), jnp.ones((2048,), bool))
+    rte, rre = se3.pose_diff_rte_rre(T, jnp.asarray(T_gt))
+    assert float(rte) < 0.05 and float(rre) < 0.5
+
+    # must agree with the single-device fixed-iter ICP
+    from pctpu.register.icp import icp_fixed_iters
+    T1 = icp_fixed_iters(jnp.asarray(src), jnp.ones((2048,), bool),
+                         jnp.asarray(dst), jnp.ones((2048,), bool),
+                         iters=25, query_chunk=256, backend="xla")
+    np.testing.assert_allclose(np.asarray(T), np.asarray(T1), atol=1e-3)
+
+
+def _ring_graph(rng, m=12, noise_rot=0.03, noise_t=0.15):
+    """Ground-truth poses on a loop; noisy odometry edges + loop closure."""
+    gt = [np.eye(4, dtype=np.float32)]
+    for i in range(1, m):
+        R = Rotation.from_rotvec(rng.normal(scale=0.3, size=3)).as_matrix()
+        t = rng.normal(scale=1.0, size=3)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        gt.append((gt[-1] @ T).astype(np.float32))
+    gt = np.stack(gt)
+
+    edges_i, edges_j, T_meas = [], [], []
+    def add_edge(i, j):
+        rel = np.linalg.inv(gt[i]) @ gt[j]
+        dR = Rotation.from_rotvec(rng.normal(scale=noise_rot, size=3)).as_matrix()
+        noisy = rel.copy()
+        noisy[:3, :3] = rel[:3, :3] @ dR
+        noisy[:3, 3] += rng.normal(scale=noise_t, size=3)
+        edges_i.append(i); edges_j.append(j); T_meas.append(noisy)
+    for i in range(m - 1):
+        add_edge(i, i + 1)
+    add_edge(m - 1, 0)  # loop closure
+    add_edge(0, m // 2)
+    return gt, (np.array(edges_i), np.array(edges_j),
+                np.stack(T_meas).astype(np.float32))
+
+
+def test_pose_graph_reduces_error():
+    rng = np.random.default_rng(2)
+    gt, (ei, ej, Tm) = _ring_graph(rng)
+    m = gt.shape[0]
+    # init: integrate noisy odometry (drifts)
+    init = [np.eye(4, dtype=np.float32)]
+    for k in range(m - 1):
+        init.append((init[-1] @ Tm[k]).astype(np.float32))
+    init = np.stack(init)
+
+    res = parallel.optimize_pose_graph(
+        jnp.asarray(init), jnp.asarray(ei), jnp.asarray(ej),
+        jnp.asarray(Tm), iters=10)
+    opt = np.asarray(res.poses)
+
+    def ate(poses):
+        # align pose 0 then average translation error
+        aligned = np.linalg.inv(poses[0])[None] @ poses
+        gt_aligned = np.linalg.inv(gt[0])[None] @ gt
+        return np.linalg.norm(aligned[:, :3, 3] - gt_aligned[:, :3, 3],
+                              axis=1).mean()
+
+    assert ate(opt) < ate(init) * 0.75
+    assert ate(opt) < 0.3
+
+
+def test_sharded_pose_graph_matches_single():
+    require_8()
+    rng = np.random.default_rng(3)
+    gt, (ei, ej, Tm) = _ring_graph(rng, m=9)
+    # pad edges to multiple of 8 with weight-0 self-edges
+    E = len(ei)
+    pad = (-E) % 8
+    ei_p = np.concatenate([ei, np.zeros(pad, ei.dtype)])
+    ej_p = np.concatenate([ej, np.zeros(pad, ej.dtype)])
+    Tm_p = np.concatenate([Tm, np.tile(np.eye(4, dtype=np.float32),
+                                       (pad, 1, 1))])
+    w_p = np.concatenate([np.ones(E, np.float32), np.zeros(pad, np.float32)])
+
+    init = [np.eye(4, dtype=np.float32)]
+    for k in range(gt.shape[0] - 1):
+        init.append((init[-1] @ Tm[k]).astype(np.float32))
+    init = jnp.asarray(np.stack(init))
+
+    mesh = parallel.make_mesh((("data", 8),))
+    step = parallel.make_sharded_pose_graph_step(mesh)
+    Tm_inv = jax.vmap(se3.invert_transform)(jnp.asarray(Tm_p))
+    with mesh:
+        out = step(init, jnp.asarray(ei_p), jnp.asarray(ej_p), Tm_inv,
+                   jnp.asarray(w_p))
+
+    # one single-device GN step with identical inputs
+    res1 = parallel.optimize_pose_graph(
+        init, jnp.asarray(ei_p), jnp.asarray(ej_p), jnp.asarray(Tm_p),
+        weights=jnp.asarray(w_p), iters=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(res1.poses),
+                               atol=1e-3)
