@@ -14,3 +14,5 @@ from pctpu.ops.interpolate import (  # noqa: F401
 from pctpu.ops.voxel import voxel_downsample, voxel_downsample_cloud  # noqa: F401
 from pctpu.ops.normals import pca, estimate_normals, neighborhood_covariances  # noqa: F401
 from pctpu.ops.eigh3 import eigh3, eigvalsh3  # noqa: F401
+from pctpu.ops.grid_hash import (  # noqa: F401
+    HashGrid, build_grid, grid_knn, grid_radius, grid_nearest)

@@ -145,6 +145,38 @@ def icp_point_to_plane(src: jax.Array, src_mask: jax.Array,
     return ICPResult(T, iters, num, rmse, converged)
 
 
+@partial(jax.jit, static_argnames=("iters", "dist_thresh", "cell_size",
+                                   "cap_per_cell", "query_chunk"))
+def icp_fixed_iters_grid(src: jax.Array, src_mask: jax.Array,
+                         dst: jax.Array, dst_mask: jax.Array,
+                         init_T: Optional[jax.Array] = None,
+                         iters: int = 30, dist_thresh: float = 5.0,
+                         cell_size: Optional[float] = None,
+                         cap_per_cell: int = 64,
+                         query_chunk: int = 2048) -> jax.Array:
+    """Fixed-iteration ICP with grid-hash association — the O(N) path for
+    full-resolution scans (the dst grid is built ONCE; associations are
+    exact within min(cell_size, dist_thresh), and anything farther would be
+    rejected by the distance threshold regardless)."""
+    from pctpu.ops.grid_hash import build_grid, grid_nearest
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=jnp.float32)
+    if cell_size is None:
+        cell_size = dist_thresh
+    thresh2 = jnp.float32(min(dist_thresh, cell_size)) ** 2
+    grid = build_grid(dst, dst_mask, cell_size=cell_size)
+
+    def body(_, T):
+        src_t = se3.apply_transform(T, src)
+        d2, idx, found = grid_nearest(grid, src_t, cap_per_cell=cap_per_cell,
+                                      query_chunk=query_chunk)
+        w = (src_mask & found & (d2 < thresh2)).astype(jnp.float32)
+        R, t = weighted_procrustes(src_t, dst[idx], w)
+        return se3.make_transform(R, t) @ T
+
+    return jax.lax.fori_loop(0, iters, body, init_T.astype(jnp.float32))
+
+
 def _so3_exp(omega: jax.Array) -> jax.Array:
     """Rodrigues' formula, [3] -> [3,3] (Taylor-safe near zero)."""
     theta = jnp.linalg.norm(omega)

@@ -109,3 +109,42 @@ def test_radius_nms_basic():
     keep = np.asarray(features.radius_nms(pts, scores, cand, radius=1.0,
                                           k_cap=3))
     assert list(keep) == [False, True, True]
+
+
+def test_shot352_shape_and_invariance(rng):
+    from scipy.spatial.transform import Rotation
+    # generic (fully 3-D) cloud: neighborhood covariances have distinct
+    # eigenvalues, so the LRF is well-defined (on symmetric flat patches the
+    # x-axis is inherently ambiguous — same as PCL)
+    pts = rng.normal(size=(1200, 3)).astype(np.float32)
+    pts *= np.array([1.0, 0.6, 0.3], np.float32)
+    kp = pts[rng.choice(pts.shape[0], 20, replace=False)]
+    f1 = np.asarray(features.shot352(jnp.asarray(pts), jnp.asarray(kp),
+                                     radius=0.6, k_cap=96, normal_k=12))
+    assert f1.shape == (20, 352)
+    norms = np.linalg.norm(f1, axis=1)
+    np.testing.assert_allclose(norms[norms > 0], 1.0, atol=1e-5)
+    # rotation invariance (LRF-based): same descriptors on rotated copy
+    R = Rotation.from_rotvec([0.3, -0.2, 0.5]).as_matrix().astype(np.float32)
+    f2 = np.asarray(features.shot352(jnp.asarray(pts @ R.T),
+                                     jnp.asarray(kp @ R.T),
+                                     radius=0.6, k_cap=96, normal_k=12))
+    cos = np.sum(f1 * f2, axis=1)
+    assert np.median(cos) > 0.8
+
+
+def test_sift3d_finds_density_structure(rng):
+    # a dense blob inside a sparse background: the blob is a density extremum
+    bg = rng.uniform(-2, 2, size=(600, 3)).astype(np.float32)
+    blob = (rng.normal(scale=0.05, size=(200, 3)) +
+            np.array([1.0, 1.0, 0.0])).astype(np.float32)
+    pts = np.concatenate([bg, blob])
+    res = features.sift3d_keypoints(jnp.asarray(pts), min_scale=0.1,
+                                    n_octaves=2, scales_per_octave=2,
+                                    min_contrast=0.5, k_cap=96)
+    keep = np.asarray(res.keypoint_mask)
+    assert keep.sum() >= 1
+    kp = pts[keep]
+    # at least one keypoint near the blob center
+    d = np.linalg.norm(kp - np.array([1.0, 1.0, 0.0]), axis=1)
+    assert d.min() < 0.5

@@ -154,3 +154,13 @@ def test_evaluate_rt_files(tmp_path, rng):
     assert out["n_success"] == 2
     assert out["success_rate"] == 2 / 4  # reference divides incl. header
     assert out["avg_rte"] < 0.1
+
+
+def test_icp_fixed_iters_grid(rng):
+    src, dst, T_gt = make_pair(rng, n=3000, angle_deg=6, trans=0.4)
+    ps, pd = _cloud(src), _cloud(dst)
+    T = register.icp_fixed_iters_grid(
+        ps.points, ps.mask, pd.points, pd.mask, iters=25,
+        dist_thresh=5.0, cell_size=2.0, cap_per_cell=64, query_chunk=512)
+    rte, rre = se3.pose_diff_rte_rre(T, jnp.asarray(T_gt))
+    assert float(rte) < 0.05 and float(rre) < 0.5
