@@ -50,13 +50,20 @@ def load_pair():
 def bench_ours(src, dst):
     import jax
     import jax.numpy as jnp
-    from pctpu.register.icp import icp_fixed_iters
+    from pctpu.register.icp import icp_fixed_iters, icp_fixed_iters_banded
 
     s, d = jnp.asarray(src), jnp.asarray(dst)
     mask = jnp.ones((src.shape[0],), bool)
+    coarse = ICP_ITERS * 4 // 5
 
     def run():
-        return icp_fixed_iters(s, mask, d, mask, iters=ICP_ITERS,
+        # hybrid schedule: banded sorted-window association for the coarse
+        # iterations, exact VMEM-resident brute 1-NN for the final polish
+        T1 = icp_fixed_iters_banded(s, mask, d, mask, iters=coarse,
+                                    dist_thresh=DIST_THRESH, block=2048,
+                                    window_blocks=2)
+        return icp_fixed_iters(s, mask, d, mask, init_T=T1,
+                               iters=ICP_ITERS - coarse,
                                dist_thresh=DIST_THRESH, query_chunk=2048)
 
     np.asarray(run())  # compile + warmup (host fetch = true sync; the axon
