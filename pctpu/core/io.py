@@ -45,6 +45,26 @@ def read_modelnet_txt(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return np.ascontiguousarray(raw[:, :3]), np.ascontiguousarray(raw[:, 3:6])
 
 
+def read_freiburg_dat(path: str, max_points: Optional[int] = None,
+                      seed: int = 0) -> np.ndarray:
+    """Freiburg/Wachtberg '.dat' scan: whitespace rows whose columns 3-5 are
+    xyz (`PCLKeypoints/src/utils.hpp:22-63` semantics, incl. its optional
+    random subsampling). Returns (N,3)."""
+    raw = np.loadtxt(path, dtype=np.float32, ndmin=2)
+    pts = np.ascontiguousarray(raw[:, 3:6])
+    if max_points is not None and pts.shape[0] > max_points:
+        rng = np.random.default_rng(seed)
+        pts = pts[rng.choice(pts.shape[0], max_points, replace=False)]
+    return pts
+
+
+def read_csv_points(path: str) -> np.ndarray:
+    """Comma-separated x,y,z[,...] text cloud
+    (`PCLKeypoints/src/utils.hpp:66-98`). Returns (N,3)."""
+    raw = np.loadtxt(path, delimiter=",", dtype=np.float32, ndmin=2)
+    return np.ascontiguousarray(raw[:, :3])
+
+
 def read_kitti_calib(path: str) -> Dict[str, np.ndarray]:
     """KITTI 3D-object calib file -> dict of named matrices."""
     out = {}

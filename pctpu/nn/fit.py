@@ -28,15 +28,23 @@ from pctpu.nn.data import iterate_batches
 
 class Logger:
     """Dual stdout + file logger (`Final_Project/pointnet2/train.py:46-49`)
-    plus JSONL metric history."""
+    plus JSONL metric history and optional TensorBoard scalars
+    (`train.py:75-76,111-115` parity, via torch.utils.tensorboard)."""
 
-    def __init__(self, workdir: Optional[str]):
+    def __init__(self, workdir: Optional[str], tensorboard: bool = False):
         self.f = None
         self.jsonl = None
+        self.tb = None
         if workdir:
             os.makedirs(workdir, exist_ok=True)
             self.f = open(os.path.join(workdir, "train.log"), "a")
             self.jsonl = open(os.path.join(workdir, "metrics.jsonl"), "a")
+            if tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                    self.tb = SummaryWriter(os.path.join(workdir, "tb"))
+                except Exception:
+                    self.tb = None
 
     def log(self, msg: str):
         print(msg)
@@ -48,6 +56,10 @@ class Logger:
         if self.jsonl:
             self.jsonl.write(json.dumps(record) + "\n")
             self.jsonl.flush()
+        if self.tb is not None and "epoch" in record:
+            for k, v in record.items():
+                if isinstance(v, (int, float)) and k != "epoch":
+                    self.tb.add_scalar(k, v, record["epoch"])
 
 
 def evaluate(model, state, dataset, batch_size: int,
@@ -76,9 +88,10 @@ def fit(cfg: TrainConfig, train_ds, val_ds=None,
         early_stop_patience: int = 5,
         eval_interval: int = 1,
         ckpt_keep: int = 2,
-        max_steps: Optional[int] = None) -> Dict[str, Any]:
+        max_steps: Optional[int] = None,
+        tensorboard: bool = False) -> Dict[str, Any]:
     """Train to cfg.epochs (or max_steps); returns summary with best val acc."""
-    log = Logger(workdir)
+    log = Logger(workdir, tensorboard=tensorboard)
     rng = jax.random.PRNGKey(cfg.seed)
     sample_pc, _ = train_ds[0]
     sample = jnp.asarray(sample_pc)[None].repeat(cfg.batch_size, axis=0)
