@@ -1,0 +1,125 @@
+"""LiDAR odometry + pose-graph SLAM pipeline.
+
+The BASELINE.json stretch config ("KITTI odometry LiDAR SLAM: scan-to-map
+ICP + distributed pose-graph BA"): sequential scan-to-scan ICP with a
+constant-velocity prior, keyframe selection, proximity loop closures
+re-registered by ICP, and pose-graph Gauss-Newton over the keyframe graph
+(`pctpu.parallel.posegraph` — whose edge-sharded variant distributes the
+normal-equation reduction over the mesh).
+
+Every ICP runs as one jitted program on fixed-capacity downsampled clouds,
+so the whole sequence reuses two compiled executables (odometry + closure).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pctpu.core import se3
+from pctpu.core.cloud import PointCloud, round_up
+from pctpu.ops.voxel import voxel_downsample
+from pctpu.register.icp import icp_fixed_iters
+from pctpu.parallel.posegraph import optimize_pose_graph
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    voxel_leaf: float = 0.5
+    icp_iters: int = 25
+    icp_dist_thresh: float = 2.0
+    keyframe_every: int = 5
+    closure_radius: float = 5.0       # keyframe proximity for loop closure
+    closure_min_gap: int = 3          # in keyframes
+    pose_graph_iters: int = 10
+    query_chunk: int = 2048
+
+
+def _prep(scan: np.ndarray, capacity: int, leaf: float) -> PointCloud:
+    pc = PointCloud.from_numpy(scan, capacity=capacity)
+    down = voxel_downsample(pc.points, pc.mask, leaf)
+    return down
+
+
+def run_odometry(scans: Sequence[np.ndarray],
+                 cfg: OdometryConfig = OdometryConfig()) -> Dict:
+    """scans: list of (N_i, 3) arrays in sensor frame. Returns dict with
+    'poses' [F,4,4] world_T_sensor, keyframes, loop closures, and the
+    optimized keyframe poses."""
+    capacity = round_up(max(s.shape[0] for s in scans), 2048)
+    clouds = [_prep(s, capacity, cfg.voxel_leaf) for s in scans]
+
+    n = len(scans)
+    poses = [np.eye(4, dtype=np.float32)]
+    deltas = [np.eye(4, dtype=np.float32)]
+    for i in range(1, n):
+        prev, cur = clouds[i - 1], clouds[i]
+        init = jnp.asarray(deltas[-1])        # constant-velocity prior
+        # T maps cur (src) into prev (dst) frame
+        T = np.asarray(icp_fixed_iters(
+            cur.points, cur.mask, prev.points, prev.mask, init_T=init,
+            iters=cfg.icp_iters, dist_thresh=cfg.icp_dist_thresh,
+            query_chunk=cfg.query_chunk))
+        deltas.append(T.astype(np.float32))
+        poses.append((poses[-1] @ T).astype(np.float32))
+    poses = np.stack(poses)
+
+    # keyframes + odometry edges between consecutive keyframes
+    kf = list(range(0, n, cfg.keyframe_every))
+    if kf[-1] != n - 1:
+        kf.append(n - 1)
+    kf_poses = poses[kf]
+    edges_i, edges_j, T_meas = [], [], []
+    for a in range(len(kf) - 1):
+        rel = np.linalg.inv(kf_poses[a]) @ kf_poses[a + 1]
+        edges_i.append(a)
+        edges_j.append(a + 1)
+        T_meas.append(rel.astype(np.float32))
+
+    # loop closures: keyframes that come back near each other
+    closures = []
+    for a in range(len(kf)):
+        for b in range(a + cfg.closure_min_gap + 1, len(kf)):
+            d = np.linalg.norm(kf_poses[a][:3, 3] - kf_poses[b][:3, 3])
+            if d < cfg.closure_radius:
+                init = np.linalg.inv(kf_poses[a]) @ kf_poses[b]
+                ca, cb = clouds[kf[a]], clouds[kf[b]]
+                T = np.asarray(icp_fixed_iters(
+                    cb.points, cb.mask, ca.points, ca.mask,
+                    init_T=jnp.asarray(init.astype(np.float32)),
+                    iters=cfg.icp_iters, dist_thresh=cfg.icp_dist_thresh,
+                    query_chunk=cfg.query_chunk))
+                edges_i.append(a)
+                edges_j.append(b)
+                T_meas.append(T.astype(np.float32))
+                closures.append((a, b))
+
+    res = optimize_pose_graph(
+        jnp.asarray(kf_poses), jnp.asarray(np.array(edges_i, np.int32)),
+        jnp.asarray(np.array(edges_j, np.int32)),
+        jnp.asarray(np.stack(T_meas)), iters=cfg.pose_graph_iters)
+    kf_opt = np.asarray(res.poses)
+
+    # propagate the keyframe correction to in-between frames
+    poses_opt = poses.copy()
+    for a in range(len(kf)):
+        corr = kf_opt[a] @ np.linalg.inv(kf_poses[a])
+        lo = kf[a]
+        hi = kf[a + 1] if a + 1 < len(kf) else n
+        for f in range(lo, hi):
+            poses_opt[f] = (corr @ poses[f]).astype(np.float32)
+
+    return {"poses": poses, "poses_optimized": poses_opt,
+            "keyframes": kf, "keyframe_poses": kf_opt,
+            "closures": closures, "final_cost": float(res.final_cost)}
+
+
+def ate(poses: np.ndarray, gt: np.ndarray) -> float:
+    """Absolute trajectory error (translation RMSE after aligning frame 0)."""
+    a = np.linalg.inv(poses[0])[None] @ poses
+    g = np.linalg.inv(gt[0])[None] @ gt
+    err = np.linalg.norm(a[:, :3, 3] - g[:, :3, 3], axis=1)
+    return float(np.sqrt(np.mean(err ** 2)))

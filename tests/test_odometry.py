@@ -1,0 +1,63 @@
+"""Odometry/SLAM pipeline on a synthetic loop trajectory."""
+import numpy as np
+import pytest
+
+from pctpu.pipelines.odometry import OdometryConfig, ate, run_odometry
+
+
+def make_world(rng, n=6000):
+    """A structured world: ground + scattered pillars/walls."""
+    pts = []
+    g = np.zeros((n // 2, 3), np.float32)
+    g[:, :2] = rng.uniform(-30, 30, (n // 2, 2))
+    g[:, 2] = rng.normal(scale=0.02, size=n // 2)
+    pts.append(g)
+    for _ in range(12):
+        c = rng.uniform(-25, 25, 2)
+        m = n // 24
+        pillar = np.zeros((m, 3), np.float32)
+        ang = rng.uniform(0, 2 * np.pi, m)
+        pillar[:, 0] = c[0] + 0.4 * np.cos(ang)
+        pillar[:, 1] = c[1] + 0.4 * np.sin(ang)
+        pillar[:, 2] = rng.uniform(0, 4, m)
+        pts.append(pillar)
+    return np.concatenate(pts).astype(np.float32)
+
+
+def circular_trajectory(n_frames, radius=8.0):
+    poses = []
+    for i in range(n_frames):
+        th = 2 * np.pi * i / n_frames
+        T = np.eye(4, dtype=np.float32)
+        c, s = np.cos(th), np.sin(th)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        T[:3, 3] = [radius * np.cos(th), radius * np.sin(th), 0.0]
+        poses.append(T)
+    return np.stack(poses)
+
+
+def render_scan(world, pose, rng, max_range=20.0, noise=0.01):
+    """Transform world into the sensor frame and crop to range."""
+    inv = np.linalg.inv(pose)
+    local = world @ inv[:3, :3].T + inv[:3, 3]
+    keep = np.linalg.norm(local[:, :2], axis=1) < max_range
+    pts = local[keep]
+    return (pts + rng.normal(scale=noise, size=pts.shape)).astype(np.float32)
+
+
+@pytest.mark.slow
+def test_odometry_closes_loop(rng):
+    world = make_world(rng)
+    gt = circular_trajectory(32, radius=6.0)  # ~1.2 m + 11 deg per frame
+    scans = [render_scan(world, p, rng) for p in gt]
+    cfg = OdometryConfig(voxel_leaf=0.4, icp_iters=25, icp_dist_thresh=3.0,
+                         keyframe_every=4, closure_radius=6.0,
+                         closure_min_gap=3, query_chunk=1024)
+    out = run_odometry(scans, cfg)
+    err_odo = ate(out["poses"], gt)
+    err_opt = ate(out["poses_optimized"], gt)
+    # odometry alone should track the circle reasonably; the closure-
+    # optimized trajectory must not be worse
+    assert err_odo < 1.0, err_odo
+    assert err_opt <= err_odo * 1.05
+    assert len(out["closures"]) >= 1  # the loop was detected
