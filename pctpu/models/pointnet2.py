@@ -29,6 +29,40 @@ from pctpu.ops.ball_query import ball_query
 from pctpu.ops.fps import fps
 from pctpu.ops.gather import gather_points, group_points
 from pctpu.ops.interpolate import (interpolation_weights, three_nn)
+from pctpu.ops.morton import morton_codes
+
+
+def morton_sort_packed(pc: jax.Array) -> jax.Array:
+    """Sort a [B,N,C>=3] cloud by Morton code of its xyz — via multi-operand
+    lax.sort (payload rides the sorting network; no gather, no backward
+    scatter). The entry point of the gather-free 'window' grouping path."""
+    codes = morton_codes(pc[..., :3])
+    operands = (codes,) + tuple(pc[..., c] for c in range(pc.shape[-1]))
+    sorted_ops = jax.lax.sort(operands, dimension=-1, num_keys=1)
+    return jnp.stack(sorted_ops[1:], axis=-1)
+
+
+def strided_windows(x: jax.Array, npoint: int, nsample: int) -> jax.Array:
+    """[B,N,C] (Morton-sorted) -> [B,npoint,nsample,C] of overlapping
+    contiguous windows (stride N/npoint, wrap at the end), built from static
+    strided slices only — the TPU-native replacement for gather-based
+    grouping. window[i, o] = x[i*stride + o]: one strided slice per offset
+    o, so peak memory is exactly the output size (a roll-per-block
+    formulation needs nsample/stride full copies and OOMs for MSG scales).
+    """
+    b, n, c = x.shape
+    stride = n // npoint
+    if nsample <= stride:
+        return x.reshape(b, npoint, stride, c)[:, :, :nsample, :]
+    # logarithmic doubling: window width doubles per step via
+    # concat(w, roll(w)) — O(log(nsample/stride)) tensors, each at most
+    # output-sized (a per-offset stack pads singleton dims 100x and OOMs)
+    w = x.reshape(b, npoint, stride, c)
+    shift = 1
+    while w.shape[2] < nsample:
+        w = jnp.concatenate([w, jnp.roll(w, -shift, axis=1)], axis=2)
+        shift *= 2
+    return w[:, :, :nsample, :]
 
 
 class RuntimeBN(nn.Module):
@@ -86,48 +120,114 @@ class SetAbstraction(nn.Module):
     `_PointnetSAModuleBase.forward` + `GroupAll` semantics.
     mlps channels EXCLUDE the input dim (the torch spec's leading entry);
     use_xyz adds relative xyz to each scale's input, as in the reference.
+
+    grouping:
+      'ball'   — reference semantics: FPS centers + ball query + gathers.
+      'window' — TPU-native gather-free path: inputs must be Morton-sorted;
+                 centers are central-block centroids and each center's
+                 neighbor set is a contiguous strided window, masked by the
+                 scale radius. Grouping/backward are pure reshapes (XLA TPU
+                 gathers/scatter-adds run at ~1e8 elem/s and dominate the
+                 train step otherwise).
     """
     npoint: Optional[int]
     radii: Sequence[Optional[float]]
     nsamples: Sequence[Optional[int]]
     mlps: Sequence[Sequence[int]]
     use_xyz: bool = True
+    grouping: str = "ball"
 
     @nn.compact
     def __call__(self, xyz, features, train: bool, bn_momentum=0.1):
         """xyz [B,N,3]; features [B,N,C] or None ->
         (new_xyz [B,npoint,3] or None, new_features [B,npoint,sum(C_out)])."""
-        if self.npoint is not None:
-            centers_idx = jax.vmap(lambda p: fps(p, self.npoint))(xyz)
-            new_xyz = gather_points(xyz, centers_idx)
-        else:
-            new_xyz = None
+        if self.npoint is None:
+            return self._group_all(xyz, features, train, bn_momentum)
+        if self.grouping == "window":
+            return self._window(xyz, features, train, bn_momentum)
+        return self._ball(xyz, features, train, bn_momentum)
 
+    def _group_all(self, xyz, features, train, bn_momentum):
+        grouped_xyz = xyz[:, None, :, :]
+        if features is not None:
+            gf = features[:, None, :, :]
+            g = (jnp.concatenate([grouped_xyz, gf], axis=-1)
+                 if self.use_xyz else gf)
+        else:
+            g = grouped_xyz
+        h = SharedMLP(self.mlps[0])(g, train, bn_momentum)
+        return None, jnp.max(h, axis=2)
+
+    def _ball(self, xyz, features, train, bn_momentum):
+        centers_idx = jax.vmap(lambda p: fps(p, self.npoint))(xyz)
+        new_xyz = gather_points(xyz, centers_idx)
         outs = []
         for i, mlp_spec in enumerate(self.mlps):
-            if self.npoint is not None:
-                radius, nsample = self.radii[i], self.nsamples[i]
-                idx, _ = jax.vmap(
-                    lambda c, p: ball_query(c, p, radius, nsample)
-                )(new_xyz, xyz)
-                grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
-                if features is not None:
-                    grouped_feats = group_points(features, idx)
-                    g = (jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
-                         if self.use_xyz else grouped_feats)
-                else:
-                    g = grouped_xyz
-            else:  # GroupAll: one group holding the whole cloud
-                grouped_xyz = xyz[:, None, :, :]
-                if features is not None:
-                    gf = features[:, None, :, :]
-                    g = (jnp.concatenate([grouped_xyz, gf], axis=-1)
-                         if self.use_xyz else gf)
-                else:
-                    g = grouped_xyz
+            radius, nsample = self.radii[i], self.nsamples[i]
+            idx, _ = jax.vmap(
+                lambda c, p: ball_query(c, p, radius, nsample)
+            )(new_xyz, xyz)
+            grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+            if features is not None:
+                grouped_feats = group_points(features, idx)
+                g = (jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+                     if self.use_xyz else grouped_feats)
+            else:
+                g = grouped_xyz
             h = SharedMLP(mlp_spec)(g, train, bn_momentum)  # [B,np,ns,C]
             outs.append(jnp.max(h, axis=2))                 # max over nsample
         return new_xyz, jnp.concatenate(outs, axis=-1)
+
+    def _window(self, xyz, features, train, bn_momentum):
+        b, n, _ = xyz.shape
+        stride = n // self.npoint
+        # centers = centroid of each stride block (Morton-local)
+        new_xyz = jnp.mean(xyz.reshape(b, self.npoint, stride, 3), axis=2)
+        packed = (xyz if features is None
+                  else jnp.concatenate([xyz, features], axis=-1))
+        has_features = features is not None
+        outs = []
+        # remat: the [B,npoint,nsample,C] window tensor and MLP activations
+        # are recomputed in the backward pass from the compact [B,N,C] input
+        # — without this, MSG-scale windows (nsample >> stride) exceed HBM
+        Scale = nn.remat(WindowScale, static_argnums=(3, 5))
+        for i, mlp_spec in enumerate(self.mlps):
+            pooled = Scale(self.npoint, self.nsamples[i], self.radii[i],
+                           tuple(mlp_spec), self.use_xyz)(
+                packed, new_xyz, train, bn_momentum, has_features)
+            outs.append(pooled)
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class WindowScale(nn.Module):
+    """One window-grouping scale: windows + rel-xyz + MLP + masked max."""
+    npoint: int
+    nsample: int
+    radius: Optional[float]
+    mlp: Sequence[int]
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, packed, new_xyz, train: bool, bn_momentum,
+                 has_features: bool):
+        win = strided_windows(packed, self.npoint, self.nsample)
+        rel = win[..., :3] - new_xyz[:, :, None, :]
+        if has_features:
+            g = (jnp.concatenate([rel, win[..., 3:]], axis=-1)
+                 if self.use_xyz else win[..., 3:])
+        else:
+            g = rel
+        h = SharedMLP(self.mlp)(g, train, bn_momentum)
+        if self.radius is not None:
+            d2 = jnp.sum(rel * rel, axis=-1)
+            inside = d2 < self.radius * self.radius      # [B,np,ns]
+            h = jnp.where(inside[..., None], h, -jnp.inf)
+            pooled = jnp.max(h, axis=2)
+            any_in = jnp.any(inside, axis=2)[..., None]
+            pooled = jnp.where(any_in, pooled, 0.0)
+        else:
+            pooled = jnp.max(h, axis=2)
+        return pooled
 
 
 class FeaturePropagation(nn.Module):
@@ -166,16 +266,17 @@ class PointNet2ClsSSG(nn.Module):
     """Single-scale-grouping classifier (`pointnet2_ssg_cls.py:63-98`)."""
     num_classes: int = 40
     use_xyz: bool = True
+    grouping: str = "ball"   # 'window' = gather-free TPU fast path
 
     @nn.compact
     def __call__(self, pc, train: bool = False, bn_momentum=0.1):
+        if self.grouping == "window":
+            pc = morton_sort_packed(pc)
         xyz, features = split_pointcloud(pc)
-        in0 = (pc.shape[-1] - 3) if not self.use_xyz else None  # doc only
-        del in0
         sa1 = SetAbstraction(512, [0.2], [64], [[64, 64, 128]],
-                             use_xyz=self.use_xyz)
+                             use_xyz=self.use_xyz, grouping=self.grouping)
         sa2 = SetAbstraction(128, [0.4], [64], [[128, 128, 256]],
-                             use_xyz=self.use_xyz)
+                             use_xyz=self.use_xyz, grouping=self.grouping)
         sa3 = SetAbstraction(None, [None], [None], [[256, 512, 1024]],
                              use_xyz=self.use_xyz)
         xyz, features = sa1(xyz, features, train, bn_momentum)
@@ -196,18 +297,21 @@ class PointNet2ClsMSG(nn.Module):
     """Multi-scale-grouping classifier (`pointnet2_msg_cls.py:11-45`)."""
     num_classes: int = 40
     use_xyz: bool = True
+    grouping: str = "ball"   # 'window' = gather-free TPU fast path
 
     @nn.compact
     def __call__(self, pc, train: bool = False, bn_momentum=0.1):
+        if self.grouping == "window":
+            pc = morton_sort_packed(pc)
         xyz, features = split_pointcloud(pc)
         sa1 = SetAbstraction(
             512, [0.1, 0.2, 0.4], [16, 32, 128],
             [[32, 32, 64], [64, 64, 128], [64, 96, 128]],
-            use_xyz=self.use_xyz)
+            use_xyz=self.use_xyz, grouping=self.grouping)
         sa2 = SetAbstraction(
             128, [0.2, 0.4, 0.8], [32, 64, 128],
             [[64, 64, 128], [128, 128, 256], [128, 128, 256]],
-            use_xyz=self.use_xyz)
+            use_xyz=self.use_xyz, grouping=self.grouping)
         sa3 = SetAbstraction(None, [None], [None], [[256, 512, 1024]],
                              use_xyz=self.use_xyz)
         xyz, features = sa1(xyz, features, train, bn_momentum)

@@ -28,6 +28,7 @@ class TrainConfig:
     weight_decay: float = 0.0
     grad_clip: float = 0.0          # 0 = off (Final_Project uses 1.0)
     use_xyz: bool = True
+    grouping: str = "ball"          # 'window' = gather-free TPU fast path
     seed: int = 0
 
 

@@ -55,8 +55,11 @@ def bn_momentum_schedule(cfg: TrainConfig, step: jax.Array) -> jax.Array:
 
 
 def build_model(cfg: TrainConfig):
-    return MODEL_REGISTRY[cfg.model](num_classes=cfg.num_classes,
-                                     use_xyz=cfg.use_xyz)
+    cls = MODEL_REGISTRY[cfg.model]
+    kwargs = dict(num_classes=cfg.num_classes, use_xyz=cfg.use_xyz)
+    if "grouping" in cls.__dataclass_fields__:
+        kwargs["grouping"] = cfg.grouping
+    return cls(**kwargs)
 
 
 def make_optimizer(cfg: TrainConfig):

@@ -38,15 +38,14 @@ def ball_query(centers: jax.Array, points: jax.Array,
     def one_chunk(cc):
         d2 = pairwise_sqdist(cc, points, points_mask)  # [q, N]
         within = d2 < r2
-        rank = jnp.cumsum(within.astype(jnp.int32), axis=1)  # 1-based among hits
-        slot = jnp.where(within, rank - 1, nsample)  # out-of-range -> dropped
-        rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-        out = jnp.zeros((cc.shape[0], nsample), jnp.int32)
-        out = out.at[rows.reshape(-1), slot.reshape(-1)].set(
-            cols.reshape(-1), mode="drop")
-        cnt = rank[:, -1]
-        first_hit = out[:, 0]
+        # first nsample hits in index order = the nsample SMALLEST column
+        # indices among hits — one top_k, no scatter (TPU scatters are slow)
+        masked_cols = jnp.where(within, cols, jnp.int32(2**30))
+        neg_top, _ = jax.lax.top_k(-masked_cols, nsample)
+        out = -neg_top                                  # ascending indices
+        cnt = jnp.sum(within, axis=1).astype(jnp.int32)
+        first_hit = jnp.where(cnt > 0, out[:, 0], 0)
         j = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
         filled = j < jnp.minimum(cnt, nsample)[:, None]
         out = jnp.where(filled, out, first_hit[:, None])

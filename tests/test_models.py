@@ -104,3 +104,33 @@ def test_data_parallel_train_step_8dev():
     # params must remain replicated and finite
     leaf = jax.tree_util.tree_leaves(state2.params)[0]
     assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+@pytest.mark.parametrize("model", ["cls-ssg", "cls-msg"])
+def test_cls_window_grouping_smoke(model):
+    """Gather-free window-grouping fast path: trains on CPU too."""
+    cfg = TrainConfig(model=model, num_classes=10, num_points=CLS_N,
+                      batch_size=2, lr=1e-5, grouping="window")
+    labels = jnp.asarray(np.random.default_rng(0).integers(0, 10, size=(2,)))
+    run_smoke(cfg, (2, CLS_N, 6), labels)
+
+
+def test_window_grouping_shapes_and_locality():
+    from pctpu.models.pointnet2 import morton_sort_packed, strided_windows
+    rng = jax.random.PRNGKey(0)
+    pc = jax.random.uniform(rng, (2, 512, 6))
+    sorted_pc = morton_sort_packed(pc)
+    assert sorted_pc.shape == pc.shape
+    # sorting preserves the multiset of points
+    a = np.sort(np.asarray(pc[0, :, 0]))
+    b = np.sort(np.asarray(sorted_pc[0, :, 0]))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    win = strided_windows(sorted_pc, 64, 32)
+    assert win.shape == (2, 64, 32, 6)
+    # windows of a Morton-sorted cloud are spatially compact: mean window
+    # spread well below the random-subset spread
+    w = np.asarray(win[0, :, :, :3])
+    spread = np.linalg.norm(w - w.mean(axis=1, keepdims=True), axis=-1).mean()
+    rand = np.asarray(sorted_pc[0, :, :3])
+    rand_spread = np.linalg.norm(rand - rand.mean(0), axis=-1).mean()
+    assert spread < 0.6 * rand_spread

@@ -198,3 +198,28 @@ def test_batch_augment_differs_per_sample(rng):
     out = np.asarray(augment.augment_batch(jax.random.PRNGKey(1), pc,
                                            pipeline=("rotate_y",)))
     assert not np.allclose(out[0], out[1])
+
+
+def test_analytics(tmp_path, rng):
+    import csv
+    from pctpu.pipelines import analytics
+    # fake metadata CSVs
+    for cat, n in [("vehicle", 30), ("misc", 50)]:
+        with open(tmp_path / f"{cat}.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["frame", "num_measurements",
+                                              "vx", "vy", "vz", "type"])
+            w.writeheader()
+            for i in range(n):
+                d = rng.uniform(2, 40)
+                ang = rng.uniform(0, 2 * np.pi)
+                w.writerow({"frame": f"{i:06d}",
+                            "num_measurements": int(2000 / d),
+                            "vx": d * np.cos(ang), "vy": d * np.sin(ang),
+                            "vz": 0.5, "type": cat})
+    out = analytics.plot_analytics(str(tmp_path), str(tmp_path / "plots"))
+    assert out["class_distribution"] == {"vehicle": 30, "misc": 50}
+    assert (tmp_path / "plots" / "class_distribution.png").exists()
+    assert (tmp_path / "plots" / "points_vs_distance.png").exists()
+    # measurement counts fall with distance
+    s = out["distance_stats"]["vehicle"]
+    assert s["median_points"][0] > s["median_points"][-1]
