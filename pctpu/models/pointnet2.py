@@ -44,11 +44,9 @@ def morton_sort_packed(pc: jax.Array) -> jax.Array:
 
 def strided_windows(x: jax.Array, npoint: int, nsample: int) -> jax.Array:
     """[B,N,C] (Morton-sorted) -> [B,npoint,nsample,C] of overlapping
-    contiguous windows (stride N/npoint, wrap at the end), built from static
-    strided slices only — the TPU-native replacement for gather-based
-    grouping. window[i, o] = x[i*stride + o]: one strided slice per offset
-    o, so peak memory is exactly the output size (a roll-per-block
-    formulation needs nsample/stride full copies and OOMs for MSG scales).
+    contiguous windows: window[i, o] = x[i*stride + o] with stride =
+    N/npoint (wrap at the end) — the TPU-native replacement for
+    gather-based grouping, built from static reshapes/rolls only.
     """
     b, n, c = x.shape
     stride = n // npoint
@@ -232,23 +230,36 @@ class WindowScale(nn.Module):
 
 class FeaturePropagation(nn.Module):
     """FP module: 3-NN inverse-distance interpolation + skip concat + MLP
-    (`pointnet2_modules.py:149-209`)."""
+    (`pointnet2_modules.py:149-209`).
+
+    grouping='window': the coarse level was produced by window SA, so each
+    fine point's parent block is known by construction — propagation is
+    block-parent unpooling (a reshape-broadcast; no three-NN, no gathers),
+    the TPU-native inverse of the stride-block mapping."""
     mlp: Sequence[int]
+    grouping: str = "ball"
 
     @nn.compact
     def __call__(self, unknown, known, unknown_feats, known_feats,
                  train: bool, bn_momentum=0.1):
         """unknown [B,n,3], known [B,m,3] or None, unknown_feats [B,n,C1] or
         None, known_feats [B,m,C2] -> [B,n,mlp[-1]]."""
-        if known is not None:
+        if known is None:
+            interp = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1],
+                              known_feats.shape[-1]))
+        elif self.grouping == "window":
+            b, m, c2 = known_feats.shape
+            n = unknown.shape[1]
+            stride = n // m
+            interp = jnp.broadcast_to(
+                known_feats[:, :, None, :], (b, m, stride, c2)
+            ).reshape(b, n, c2)
+        else:
             d2, idx = jax.vmap(lambda u, k: three_nn(u, k))(unknown, known)
             w = interpolation_weights(d2)
             gathered = group_points(known_feats, idx)         # [B,n,3,C2]
             interp = jnp.sum(gathered * w[..., None], axis=-2)
-        else:
-            interp = jnp.broadcast_to(
-                known_feats, (known_feats.shape[0], unknown.shape[1],
-                              known_feats.shape[-1]))
         x = (jnp.concatenate([interp, unknown_feats], axis=-1)
              if unknown_feats is not None else interp)
         return SharedMLP(self.mlp)(x, train, bn_momentum)
@@ -329,24 +340,34 @@ class PointNet2ClsMSG(nn.Module):
 
 
 class PointNet2SemSegSSG(nn.Module):
-    """U-Net-style semantic segmentation, SSG (`pointnet2_ssg_sem.py:12-94`)."""
+    """U-Net-style semantic segmentation, SSG (`pointnet2_ssg_sem.py:12-94`).
+
+    grouping='window': gather-free end-to-end; NOTE inputs must then be
+    Morton-sorted together with their labels (use morton_sort_packed on
+    [pc | labels]) — logits come back in sorted order."""
     num_classes: int = 13
     use_xyz: bool = True
+    grouping: str = "ball"
 
     @nn.compact
     def __call__(self, pc, train: bool = False, bn_momentum=0.1):
         xyz, features = split_pointcloud(pc)
+        g = self.grouping
         sas = [
-            SetAbstraction(1024, [0.1], [32], [[32, 32, 64]], self.use_xyz),
-            SetAbstraction(256, [0.2], [32], [[64, 64, 128]], self.use_xyz),
-            SetAbstraction(64, [0.4], [32], [[128, 128, 256]], self.use_xyz),
-            SetAbstraction(16, [0.8], [32], [[256, 256, 512]], self.use_xyz),
+            SetAbstraction(1024, [0.1], [32], [[32, 32, 64]], self.use_xyz,
+                           grouping=g),
+            SetAbstraction(256, [0.2], [32], [[64, 64, 128]], self.use_xyz,
+                           grouping=g),
+            SetAbstraction(64, [0.4], [32], [[128, 128, 256]], self.use_xyz,
+                           grouping=g),
+            SetAbstraction(16, [0.8], [32], [[256, 256, 512]], self.use_xyz,
+                           grouping=g),
         ]
         fps_ = [
-            FeaturePropagation([128, 128, 128]),
-            FeaturePropagation([256, 128]),
-            FeaturePropagation([256, 256]),
-            FeaturePropagation([256, 256]),
+            FeaturePropagation([128, 128, 128], grouping=g),
+            FeaturePropagation([256, 128], grouping=g),
+            FeaturePropagation([256, 256], grouping=g),
+            FeaturePropagation([256, 256], grouping=g),
         ]
         l_xyz, l_feats = [xyz], [features]
         for sa in sas:
@@ -366,28 +387,35 @@ class PointNet2SemSegSSG(nn.Module):
 
 
 class PointNet2SemSegMSG(nn.Module):
-    """U-Net-style semantic segmentation, MSG (`pointnet2_msg_sem.py:12-75`)."""
+    """U-Net-style semantic segmentation, MSG (`pointnet2_msg_sem.py:12-75`).
+    See PointNet2SemSegSSG for grouping='window' notes."""
     num_classes: int = 13
     use_xyz: bool = True
+    grouping: str = "ball"
 
     @nn.compact
     def __call__(self, pc, train: bool = False, bn_momentum=0.1):
         xyz, features = split_pointcloud(pc)
+        g = self.grouping
         sas = [
             SetAbstraction(1024, [0.05, 0.1], [16, 32],
-                           [[16, 16, 32], [32, 32, 64]], self.use_xyz),
+                           [[16, 16, 32], [32, 32, 64]], self.use_xyz,
+                           grouping=g),
             SetAbstraction(256, [0.1, 0.2], [16, 32],
-                           [[64, 64, 128], [64, 96, 128]], self.use_xyz),
+                           [[64, 64, 128], [64, 96, 128]], self.use_xyz,
+                           grouping=g),
             SetAbstraction(64, [0.2, 0.4], [16, 32],
-                           [[128, 196, 256], [128, 196, 256]], self.use_xyz),
+                           [[128, 196, 256], [128, 196, 256]], self.use_xyz,
+                           grouping=g),
             SetAbstraction(16, [0.4, 0.8], [16, 32],
-                           [[256, 256, 512], [256, 384, 512]], self.use_xyz),
+                           [[256, 256, 512], [256, 384, 512]], self.use_xyz,
+                           grouping=g),
         ]
         fps_ = [
-            FeaturePropagation([128, 128]),
-            FeaturePropagation([256, 256]),
-            FeaturePropagation([512, 512]),
-            FeaturePropagation([512, 512]),
+            FeaturePropagation([128, 128], grouping=g),
+            FeaturePropagation([256, 256], grouping=g),
+            FeaturePropagation([512, 512], grouping=g),
+            FeaturePropagation([512, 512], grouping=g),
         ]
         l_xyz, l_feats = [xyz], [features]
         for sa in sas:

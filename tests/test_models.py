@@ -134,3 +134,27 @@ def test_window_grouping_shapes_and_locality():
     rand = np.asarray(sorted_pc[0, :, :3])
     rand_spread = np.linalg.norm(rand - rand.mean(0), axis=-1).mean()
     assert spread < 0.6 * rand_spread
+
+
+def test_semseg_window_smoke():
+    """Gather-free semseg: caller Morton-sorts pc and labels together."""
+    from pctpu.models.pointnet2 import morton_sort_packed
+    cfg = TrainConfig(model="semseg-ssg", num_classes=13, num_points=SEM_N,
+                      batch_size=2, lr=1e-5, grouping="window")
+    rng = jax.random.PRNGKey(0)
+    pc = jax.random.normal(rng, (2, SEM_N, 9))
+    labels = jnp.asarray(
+        np.random.default_rng(0).integers(0, 13, size=(2, SEM_N)))
+    packed = jnp.concatenate([pc, labels[..., None].astype(jnp.float32)],
+                             axis=-1)
+    packed = morton_sort_packed(packed)
+    pc_s = packed[..., :9]
+    labels_s = packed[..., 9].astype(jnp.int32)
+    model, state = T.create_train_state(cfg, rng, pc_s)
+    step = jax.jit(T.make_train_step(model, cfg))
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, pc_s, labels_s, jax.random.fold_in(rng, i))
+        losses.append(float(metrics["loss"]))
+    for prev, cur in zip(losses, losses[1:]):
+        assert cur < prev + 1.0, losses
