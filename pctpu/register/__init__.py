@@ -1,6 +1,6 @@
 from pctpu.register.procrustes import weighted_procrustes, procrustes_transform  # noqa: F401
 from pctpu.register.icp import (  # noqa: F401
     ICPConfig, ICPResult, icp_point_to_point, icp_point_to_plane,
-    icp_fixed_iters, icp_fixed_iters_grid)
+    icp_fixed_iters, icp_fixed_iters_grid, icp_fixed_iters_banded)
 from pctpu.register.ransac import ransac_registration, RansacResult  # noqa: F401
 from pctpu.register import evaluate  # noqa: F401

@@ -164,3 +164,4 @@ def test_icp_fixed_iters_grid(rng):
         dist_thresh=5.0, cell_size=2.0, cap_per_cell=64, query_chunk=512)
     rte, rre = se3.pose_diff_rte_rre(T, jnp.asarray(T_gt))
     assert float(rte) < 0.05 and float(rre) < 0.5
+
