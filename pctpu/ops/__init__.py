@@ -12,7 +12,10 @@ from pctpu.ops.gather import gather_points, group_points, mask_group  # noqa: F4
 from pctpu.ops.interpolate import (  # noqa: F401
     three_nn, three_interpolate, interpolation_weights)
 from pctpu.ops.voxel import voxel_downsample, voxel_downsample_cloud  # noqa: F401
-from pctpu.ops.normals import pca, estimate_normals, neighborhood_covariances  # noqa: F401
+from pctpu.ops.normals import (  # noqa: F401
+    pca, pca_project, estimate_normals, neighborhood_covariances)
 from pctpu.ops.eigh3 import eigh3, eigvalsh3  # noqa: F401
 from pctpu.ops.grid_hash import (  # noqa: F401
     HashGrid, build_grid, grid_knn, grid_radius, grid_nearest)
+from pctpu.ops.morton import morton_codes, morton_sort  # noqa: F401
+from pctpu.ops.pallas_banded import build_banded, nearest_banded  # noqa: F401

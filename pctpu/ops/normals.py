@@ -44,6 +44,18 @@ def pca(data: jax.Array, mask: Optional[jax.Array] = None,
     return vals[::-1], vecs[:, ::-1]
 
 
+def pca_project(data: jax.Array, n_components: int = 2,
+                mask: Optional[jax.Array] = None) -> jax.Array:
+    """Project [N,D] data onto its top principal axes -> [N,n_components]
+    (the reference's draw_pca 2-D projection demo, `pca_normal.py:39-56`)."""
+    if mask is None:
+        mask = jnp.ones(data.shape[:1], bool)
+    w = mask.astype(jnp.float32)
+    mean = jnp.sum(data * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    _, vecs = pca(data, mask)
+    return (data - mean) @ vecs[:, :n_components]
+
+
 def neighborhood_covariances(points: jax.Array, idx: jax.Array,
                              valid: jax.Array):
     """Per-point scatter matrices of gathered neighborhoods.

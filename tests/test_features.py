@@ -148,3 +148,14 @@ def test_sift3d_finds_density_structure(rng):
     # at least one keypoint near the blob center
     d = np.linalg.norm(kp - np.array([1.0, 1.0, 0.0]), axis=1)
     assert d.min() < 0.5
+
+
+def test_harris6d(rng):
+    pts = make_box_cloud(rng)
+    # intensity with a sharp spatial edge adds appearance corners
+    intensity = (pts[:, 0] > 0).astype(np.float32)
+    res = features.harris6d_keypoints(jnp.asarray(pts),
+                                      jnp.asarray(intensity),
+                                      radius=0.4, threshold=1e-5, k_cap=96)
+    assert np.all(np.isfinite(np.asarray(res.response)))
+    assert np.asarray(res.keypoint_mask).sum() >= 1

@@ -287,3 +287,12 @@ def test_estimate_normals_plane(rng):
         jnp.asarray(pts), k=8, viewpoint=jnp.array([0.0, 0.0, 10.0])))
     np.testing.assert_allclose(np.abs(normals[:, 2]), 1.0, atol=1e-3)
     assert np.all(normals[:, 2] > 0)  # oriented to viewpoint
+
+
+def test_pca_project(rng):
+    data = rng.normal(size=(300, 3)).astype(np.float32) * np.array(
+        [5.0, 1.0, 0.1])
+    proj = np.asarray(ops.pca_project(jnp.asarray(data), 2))
+    assert proj.shape == (300, 2)
+    # first projected axis carries the largest variance
+    assert proj[:, 0].var() > proj[:, 1].var() > data[:, 2].var()
