@@ -54,7 +54,7 @@ def bench_ours(src, dst):
 
     s, d = jnp.asarray(src), jnp.asarray(dst)
     mask = jnp.ones((src.shape[0],), bool)
-    coarse = ICP_ITERS * 4 // 5
+    coarse = ICP_ITERS * 9 // 10
 
     def run():
         # hybrid schedule: banded sorted-window association for the coarse
