@@ -19,7 +19,7 @@ Layer specs match the reference exactly:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -97,18 +97,22 @@ class RuntimeBN(nn.Module):
 
 class SharedMLP(nn.Module):
     """The reference's build_shared_mlp (`pointnet2_modules.py:9-19`):
-    per-point Dense (1x1 conv) + BN + ReLU per layer."""
+    per-point Dense (1x1 conv) + BN + ReLU per layer.
+
+    dtype: computation dtype for the matmuls (bfloat16 doubles MXU
+    throughput; parameters and BN statistics stay float32)."""
     channels: Sequence[int]
     bn: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool, bn_momentum=0.1):
         for c in self.channels:
-            x = nn.Dense(c, use_bias=not self.bn, dtype=x.dtype)(x)
+            x = nn.Dense(c, use_bias=not self.bn, dtype=self.dtype)(x)
             if self.bn:
-                x = RuntimeBN()(x, train, bn_momentum)
+                x = RuntimeBN()(x.astype(jnp.float32), train, bn_momentum)
             x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class SetAbstraction(nn.Module):
@@ -134,6 +138,7 @@ class SetAbstraction(nn.Module):
     mlps: Sequence[Sequence[int]]
     use_xyz: bool = True
     grouping: str = "ball"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, xyz, features, train: bool, bn_momentum=0.1):
@@ -153,7 +158,7 @@ class SetAbstraction(nn.Module):
                  if self.use_xyz else gf)
         else:
             g = grouped_xyz
-        h = SharedMLP(self.mlps[0])(g, train, bn_momentum)
+        h = SharedMLP(self.mlps[0], dtype=self.dtype)(g, train, bn_momentum)
         return None, jnp.max(h, axis=2)
 
     def _ball(self, xyz, features, train, bn_momentum):
@@ -172,12 +177,16 @@ class SetAbstraction(nn.Module):
                      if self.use_xyz else grouped_feats)
             else:
                 g = grouped_xyz
-            h = SharedMLP(mlp_spec)(g, train, bn_momentum)  # [B,np,ns,C]
+            h = SharedMLP(mlp_spec, dtype=self.dtype)(g, train, bn_momentum)  # [B,np,ns,C]
             outs.append(jnp.max(h, axis=2))                 # max over nsample
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
     def _window(self, xyz, features, train, bn_momentum):
         b, n, _ = xyz.shape
+        if n < self.npoint:
+            raise ValueError(
+                f"window grouping needs N >= npoint (got N={n}, "
+                f"npoint={self.npoint})")
         stride = n // self.npoint
         # centers = centroid of each stride block (Morton-local)
         new_xyz = jnp.mean(xyz.reshape(b, self.npoint, stride, 3), axis=2)
@@ -191,7 +200,7 @@ class SetAbstraction(nn.Module):
         Scale = nn.remat(WindowScale, static_argnums=(3, 5))
         for i, mlp_spec in enumerate(self.mlps):
             pooled = Scale(self.npoint, self.nsamples[i], self.radii[i],
-                           tuple(mlp_spec), self.use_xyz)(
+                           tuple(mlp_spec), self.use_xyz, self.dtype)(
                 packed, new_xyz, train, bn_momentum, has_features)
             outs.append(pooled)
         return new_xyz, jnp.concatenate(outs, axis=-1)
@@ -204,6 +213,7 @@ class WindowScale(nn.Module):
     radius: Optional[float]
     mlp: Sequence[int]
     use_xyz: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, packed, new_xyz, train: bool, bn_momentum,
@@ -215,7 +225,7 @@ class WindowScale(nn.Module):
                  if self.use_xyz else win[..., 3:])
         else:
             g = rel
-        h = SharedMLP(self.mlp)(g, train, bn_momentum)
+        h = SharedMLP(self.mlp, dtype=self.dtype)(g, train, bn_momentum)
         if self.radius is not None:
             d2 = jnp.sum(rel * rel, axis=-1)
             inside = d2 < self.radius * self.radius      # [B,np,ns]
@@ -238,6 +248,7 @@ class FeaturePropagation(nn.Module):
     the TPU-native inverse of the stride-block mapping."""
     mlp: Sequence[int]
     grouping: str = "ball"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, unknown, known, unknown_feats, known_feats,
@@ -262,7 +273,7 @@ class FeaturePropagation(nn.Module):
             interp = jnp.sum(gathered * w[..., None], axis=-2)
         x = (jnp.concatenate([interp, unknown_feats], axis=-1)
              if unknown_feats is not None else interp)
-        return SharedMLP(self.mlp)(x, train, bn_momentum)
+        return SharedMLP(self.mlp, dtype=self.dtype)(x, train, bn_momentum)
 
 
 def split_pointcloud(pc):
@@ -278,6 +289,7 @@ class PointNet2ClsSSG(nn.Module):
     num_classes: int = 40
     use_xyz: bool = True
     grouping: str = "ball"   # 'window' = gather-free TPU fast path
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pc, train: bool = False, bn_momentum=0.1):
@@ -285,20 +297,22 @@ class PointNet2ClsSSG(nn.Module):
             pc = morton_sort_packed(pc)
         xyz, features = split_pointcloud(pc)
         sa1 = SetAbstraction(512, [0.2], [64], [[64, 64, 128]],
-                             use_xyz=self.use_xyz, grouping=self.grouping)
+                             use_xyz=self.use_xyz, grouping=self.grouping,
+                             dtype=self.dtype)
         sa2 = SetAbstraction(128, [0.4], [64], [[128, 128, 256]],
-                             use_xyz=self.use_xyz, grouping=self.grouping)
+                             use_xyz=self.use_xyz, grouping=self.grouping,
+                             dtype=self.dtype)
         sa3 = SetAbstraction(None, [None], [None], [[256, 512, 1024]],
-                             use_xyz=self.use_xyz)
+                             use_xyz=self.use_xyz, dtype=self.dtype)
         xyz, features = sa1(xyz, features, train, bn_momentum)
         xyz, features = sa2(xyz, features, train, bn_momentum)
         _, features = sa3(xyz, features, train, bn_momentum)
         x = features[:, 0, :]                                  # [B,1024]
-        x = nn.Dense(512, use_bias=False)(x)
-        x = RuntimeBN()(x, train, bn_momentum)
+        x = nn.Dense(512, use_bias=False, dtype=self.dtype)(x)
+        x = RuntimeBN()(x.astype(jnp.float32), train, bn_momentum)
         x = nn.relu(x)
-        x = nn.Dense(256, use_bias=False)(x)
-        x = RuntimeBN()(x, train, bn_momentum)
+        x = nn.Dense(256, use_bias=False, dtype=self.dtype)(x)
+        x = RuntimeBN()(x.astype(jnp.float32), train, bn_momentum)
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         return nn.Dense(self.num_classes)(x)
@@ -309,6 +323,7 @@ class PointNet2ClsMSG(nn.Module):
     num_classes: int = 40
     use_xyz: bool = True
     grouping: str = "ball"   # 'window' = gather-free TPU fast path
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pc, train: bool = False, bn_momentum=0.1):
@@ -318,22 +333,22 @@ class PointNet2ClsMSG(nn.Module):
         sa1 = SetAbstraction(
             512, [0.1, 0.2, 0.4], [16, 32, 128],
             [[32, 32, 64], [64, 64, 128], [64, 96, 128]],
-            use_xyz=self.use_xyz, grouping=self.grouping)
+            use_xyz=self.use_xyz, grouping=self.grouping, dtype=self.dtype)
         sa2 = SetAbstraction(
             128, [0.2, 0.4, 0.8], [32, 64, 128],
             [[64, 64, 128], [128, 128, 256], [128, 128, 256]],
-            use_xyz=self.use_xyz, grouping=self.grouping)
+            use_xyz=self.use_xyz, grouping=self.grouping, dtype=self.dtype)
         sa3 = SetAbstraction(None, [None], [None], [[256, 512, 1024]],
-                             use_xyz=self.use_xyz)
+                             use_xyz=self.use_xyz, dtype=self.dtype)
         xyz, features = sa1(xyz, features, train, bn_momentum)
         xyz, features = sa2(xyz, features, train, bn_momentum)
         _, features = sa3(xyz, features, train, bn_momentum)
         x = features[:, 0, :]
-        x = nn.Dense(512, use_bias=False)(x)
-        x = RuntimeBN()(x, train, bn_momentum)
+        x = nn.Dense(512, use_bias=False, dtype=self.dtype)(x)
+        x = RuntimeBN()(x.astype(jnp.float32), train, bn_momentum)
         x = nn.relu(x)
-        x = nn.Dense(256, use_bias=False)(x)
-        x = RuntimeBN()(x, train, bn_momentum)
+        x = nn.Dense(256, use_bias=False, dtype=self.dtype)(x)
+        x = RuntimeBN()(x.astype(jnp.float32), train, bn_momentum)
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         return nn.Dense(self.num_classes)(x)

@@ -29,6 +29,7 @@ class TrainConfig:
     grad_clip: float = 0.0          # 0 = off (Final_Project uses 1.0)
     use_xyz: bool = True
     grouping: str = "ball"          # 'window' = gather-free TPU fast path
+    compute_dtype: str = "float32"  # 'bfloat16' doubles MXU throughput
     seed: int = 0
 
 

@@ -59,6 +59,8 @@ def build_model(cfg: TrainConfig):
     kwargs = dict(num_classes=cfg.num_classes, use_xyz=cfg.use_xyz)
     if "grouping" in cls.__dataclass_fields__:
         kwargs["grouping"] = cfg.grouping
+    if "dtype" in cls.__dataclass_fields__:
+        kwargs["dtype"] = jnp.dtype(cfg.compute_dtype)
     return cls(**kwargs)
 
 

@@ -44,18 +44,42 @@ def _prep(scan: np.ndarray, capacity: int, leaf: float) -> PointCloud:
     return down
 
 
+def save_odometry_state(path: str, i: int, poses, deltas) -> None:
+    """Restartable front-end state (SURVEY.md §5.3: multi-host job
+    restartability via checkpointed pose-graph state)."""
+    np.savez(path, i=i, poses=np.stack(poses), deltas=np.stack(deltas))
+
+
+def load_odometry_state(path: str):
+    import os
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    return (int(z["i"]), [p for p in z["poses"].astype(np.float32)],
+            [d for d in z["deltas"].astype(np.float32)])
+
+
 def run_odometry(scans: Sequence[np.ndarray],
-                 cfg: OdometryConfig = OdometryConfig()) -> Dict:
+                 cfg: OdometryConfig = OdometryConfig(),
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 25) -> Dict:
     """scans: list of (N_i, 3) arrays in sensor frame. Returns dict with
     'poses' [F,4,4] world_T_sensor, keyframes, loop closures, and the
-    optimized keyframe poses."""
+    optimized keyframe poses. With checkpoint_path, the scan-to-scan
+    front end is restartable mid-sequence."""
     capacity = round_up(max(s.shape[0] for s in scans), 2048)
     clouds = [_prep(s, capacity, cfg.voxel_leaf) for s in scans]
 
     n = len(scans)
     poses = [np.eye(4, dtype=np.float32)]
     deltas = [np.eye(4, dtype=np.float32)]
-    for i in range(1, n):
+    start = 1
+    if checkpoint_path:
+        restored = load_odometry_state(checkpoint_path)
+        if restored:
+            start, poses, deltas = restored
+            start += 1
+    for i in range(start, n):
         prev, cur = clouds[i - 1], clouds[i]
         init = jnp.asarray(deltas[-1])        # constant-velocity prior
         # T maps cur (src) into prev (dst) frame
@@ -65,6 +89,8 @@ def run_odometry(scans: Sequence[np.ndarray],
             query_chunk=cfg.query_chunk))
         deltas.append(T.astype(np.float32))
         poses.append((poses[-1] @ T).astype(np.float32))
+        if checkpoint_path and (i % checkpoint_every == 0 or i == n - 1):
+            save_odometry_state(checkpoint_path, i, poses, deltas)
     poses = np.stack(poses)
 
     # keyframes + odometry edges between consecutive keyframes

@@ -158,3 +158,12 @@ def test_semseg_window_smoke():
         losses.append(float(metrics["loss"]))
     for prev, cur in zip(losses, losses[1:]):
         assert cur < prev + 1.0, losses
+
+
+def test_cls_bf16_compute_smoke():
+    cfg = TrainConfig(model="cls-ssg", num_classes=10, num_points=CLS_N,
+                      batch_size=2, lr=1e-5, grouping="window",
+                      compute_dtype="bfloat16")
+    labels = jnp.asarray(np.random.default_rng(0).integers(0, 10, size=(2,)))
+    losses = run_smoke(cfg, (2, CLS_N, 6), labels)
+    assert all(np.isfinite(l) for l in losses)

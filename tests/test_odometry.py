@@ -61,3 +61,26 @@ def test_odometry_closes_loop(rng):
     assert err_odo < 1.0, err_odo
     assert err_opt <= err_odo * 1.05
     assert len(out["closures"]) >= 1  # the loop was detected
+
+
+def test_odometry_checkpoint_resume(tmp_path, rng):
+    from pctpu.pipelines.odometry import (load_odometry_state,
+                                          save_odometry_state)
+    world = make_world(rng, n=2000)
+    gt = circular_trajectory(8, radius=4.0)
+    scans = [render_scan(world, p, rng, max_range=15.0) for p in gt]
+    cfg = OdometryConfig(voxel_leaf=0.5, icp_iters=10, icp_dist_thresh=3.0,
+                         keyframe_every=3, query_chunk=512)
+    ckpt = str(tmp_path / "odo.npz")
+    full = run_odometry(scans, cfg, checkpoint_path=ckpt, checkpoint_every=2)
+    # simulate a crash after frame 4: truncate the state and resume
+    poses = [p for p in full["poses"][:5]]
+    deltas = [np.eye(4, dtype=np.float32)] + [
+        np.linalg.inv(full["poses"][i - 1]) @ full["poses"][i]
+        for i in range(1, 5)]
+    save_odometry_state(ckpt, 4, poses,
+                        [d.astype(np.float32) for d in deltas])
+    resumed = run_odometry(scans, cfg, checkpoint_path=ckpt)
+    np.testing.assert_allclose(resumed["poses"][:5], full["poses"][:5],
+                               atol=1e-5)
+    assert resumed["poses"].shape == full["poses"].shape
