@@ -14,6 +14,8 @@ bench:
 native:
 	g++ -O3 -shared -fPIC -o pctpu/native/_fastio.so \
 	    pctpu/native/fastio.cpp -lpthread
+	g++ -O3 -std=c++17 -shared -fPIC -o pctpu/native/_spatial.so \
+	    pctpu/native/spatial.cpp -lpthread
 
 lint:
 	python -m compileall -q pctpu tests

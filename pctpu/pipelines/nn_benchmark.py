@@ -34,7 +34,13 @@ def main(argv=None):
     from pctpu.core.io import read_velodyne_bin
     from pctpu import ops
 
-    pts = read_velodyne_bin(args.bin)  # (N,3) — transpose bug fixed
+    import os
+    if os.path.exists(args.bin):
+        pts = read_velodyne_bin(args.bin)  # (N,3) — transpose bug fixed
+    else:
+        print(f"note: {args.bin} not found; using a synthetic uniform cloud")
+        pts = np.random.default_rng(0).uniform(
+            -40, 40, (124668, 3)).astype(np.float32)
     rng = np.random.default_rng(0)
     sel = rng.choice(pts.shape[0], min(args.n, pts.shape[0]), replace=False)
     db = pts[sel]
@@ -61,6 +67,34 @@ def main(argv=None):
     t0 = time.perf_counter()
     sync(ops.nearest(qj, dbj)[0])
     print(f"pctpu 1-NN:     {(time.perf_counter()-t0)*1e3:8.1f} ms")
+
+    # native C++ trees (host side; comparison counters like result_set.py:59)
+    from pctpu.native import spatial
+
+    if spatial.available():
+        t0 = time.perf_counter()
+        kd = spatial.KDTree(db)
+        print(f"c++ kd build:   {(time.perf_counter()-t0)*1e3:8.1f} ms "
+              f"({kd.node_count} nodes)")
+        t0 = time.perf_counter()
+        _, _, cmp = kd.knn(q, args.k)
+        print(f"c++ kd knn:     {(time.perf_counter()-t0)*1e3:8.1f} ms "
+              f"({cmp.mean():.0f} cmp/query)")
+        t0 = time.perf_counter()
+        kd.radius(q, args.radius, cap=64)
+        print(f"c++ kd radius:  {(time.perf_counter()-t0)*1e3:8.1f} ms")
+        t0 = time.perf_counter()
+        oc = spatial.Octree(db)
+        print(f"c++ oct build:  {(time.perf_counter()-t0)*1e3:8.1f} ms "
+              f"({oc.node_count} nodes)")
+        t0 = time.perf_counter()
+        _, _, cmp = oc.knn(q, args.k)
+        print(f"c++ oct knn:    {(time.perf_counter()-t0)*1e3:8.1f} ms "
+              f"({cmp.mean():.0f} cmp/query)")
+        t0 = time.perf_counter()
+        oc.radius(q, args.radius, cap=64, fast=True)
+        print(f"c++ oct radius: {(time.perf_counter()-t0)*1e3:8.1f} ms "
+              f"(contains() fast path)")
 
     # scipy
     from scipy.spatial import cKDTree
