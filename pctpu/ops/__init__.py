@@ -19,3 +19,6 @@ from pctpu.ops.grid_hash import (  # noqa: F401
     HashGrid, build_grid, grid_knn, grid_radius, grid_nearest)
 from pctpu.ops.morton import morton_codes, morton_sort  # noqa: F401
 from pctpu.ops.pallas_banded import build_banded, nearest_banded  # noqa: F401
+from pctpu.ops.box3d import (  # noqa: F401
+    iou_bev, iou3d, nms_rotated, points_in_boxes, roipool3d, bev_corners,
+    corners3d)
