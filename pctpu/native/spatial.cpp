@@ -354,6 +354,7 @@ long kdtree_node_count(void* h) { return (long)((KdTree*)h)->nodes.size(); }
 // out_idx/out_d2: [nq*k]; out_cmp: [nq] distance-comparison counters.
 void kdtree_knn(void* h, const float* q, long nq, int k, int* out_idx,
                 float* out_d2, long* out_cmp, int n_threads) {
+    if (k < 1) return;  // KnnHeap::worst() reads d2[k-1]
     KdTree* t = (KdTree*)h;
     run_batch([&](long i) {
         KnnHeap rs;
@@ -414,6 +415,7 @@ long octree_node_count(void* h) { return (long)((Octree*)h)->nodes.size(); }
 
 void octree_knn(void* h, const float* q, long nq, int k, int* out_idx,
                 float* out_d2, long* out_cmp, int n_threads) {
+    if (k < 1) return;  // KnnHeap::worst() reads d2[k-1]
     Octree* t = (Octree*)h;
     run_batch([&](long i) {
         KnnHeap rs;

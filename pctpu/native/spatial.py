@@ -125,6 +125,8 @@ class _TreeBase:
             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """k nearest neighbors. Returns (idx [Q,k], dist2 [Q,k],
         comparisons [Q]) — idx -1 where fewer than k points exist."""
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
         q = _as_f32_c(queries)
         nq = q.shape[0]
         idx = np.empty((nq, k), np.int32)
@@ -155,7 +157,9 @@ class _TreeBase:
         q = _as_f32_c(queries)
         nq = q.shape[0]
         idx = np.empty((nq, cap), np.int32)
-        d2 = np.empty((nq, cap), np.float32)
+        # C++ writes only the first `found` slots per query; pre-fill the
+        # padding so both backends pad dist2 with inf (ADVICE r1).
+        d2 = np.full((nq, cap), np.inf, np.float32)
         cnt = np.empty((nq,), np.int32)
         cmp = np.empty((nq,), np.int64)
         if self.native:

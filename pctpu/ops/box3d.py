@@ -157,10 +157,15 @@ def nms_rotated(boxes: jax.Array, scores: jax.Array, iou_thresh: float,
 
     keep = jax.lax.fori_loop(0, n, body, jnp.ones((n,), bool))
     # top_k on the keep mask: equal values tie-break by ascending index,
-    # i.e. kept entries come out in descending-score order, pads after
-    vals, kidx = jax.lax.top_k(keep.astype(jnp.float32), max_out)
+    # i.e. kept entries come out in descending-score order, pads after.
+    # Pad the mask up to max_out so a fixed output budget larger than the
+    # candidate count is legal (common in detection post-processing).
+    pad = max(0, max_out - n)
+    keep_f = jnp.pad(keep.astype(jnp.float32), (0, pad))
+    order_p = jnp.pad(order, (0, pad), constant_values=-1)
+    vals, kidx = jax.lax.top_k(keep_f, max_out)
     valid = vals > 0
-    return jnp.where(valid, order[kidx], -1), valid
+    return jnp.where(valid, order_p[kidx], -1), valid
 
 
 @jax.jit
@@ -188,8 +193,13 @@ def roipool3d(points: jax.Array, feats: jax.Array, boxes: jax.Array,
     """
     inside = points_in_boxes(points, boxes)  # (M,N)
     count = inside.sum(-1)
-    # top_k on the mask: ties broken by lowest index = first-k semantics
-    vals, idx = jax.lax.top_k(inside.astype(jnp.float32), cap)
+    # top_k on the mask: ties broken by lowest index = first-k semantics.
+    # Pad the point axis up to cap so clouds smaller than the pool budget
+    # (filtered/sparse ROIs) are legal; padded slots come out valid=False.
+    pad = max(0, cap - inside.shape[1])
+    inside_f = jnp.pad(inside.astype(jnp.float32), ((0, 0), (0, pad)))
+    vals, idx = jax.lax.top_k(inside_f, cap)
+    idx = jnp.minimum(idx, points.shape[0] - 1)  # clamp padded gathers
     valid = vals > 0
     sel = jnp.take(points, idx, axis=0)  # (M,cap,3)
     rel = sel - boxes[:, None, :3]

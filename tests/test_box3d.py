@@ -131,3 +131,30 @@ def test_corners3d_shape():
     np.testing.assert_allclose(c[0, :4, 2], 2.0, atol=1e-6)  # bottom z
     np.testing.assert_allclose(c[0, 4:, 2], 4.0, atol=1e-6)  # top z
     np.testing.assert_allclose(c[0].mean(0), [1, 2, 3], atol=1e-5)
+
+
+def test_nms_max_out_exceeds_candidates():
+    """ADVICE r1: max_out > n_boxes must not crash top_k; pads invalid."""
+    boxes = np.array([[0, 0, 0, 2, 2, 2, 0.0],
+                      [10, 10, 0, 2, 2, 2, 0.0]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    idx, valid = box3d.nms_rotated(boxes, scores, 0.5, max_out=10)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    assert idx.shape == (10,) and valid.shape == (10,)
+    assert valid[:2].all() and not valid[2:].any()
+    np.testing.assert_array_equal(idx[:2], [0, 1])
+    np.testing.assert_array_equal(idx[2:], -1)
+
+
+def test_roipool_cap_exceeds_points():
+    """ADVICE r1: cap > N points must not crash; pads valid=False."""
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-1, 1, size=(100, 3)).astype(np.float32)
+    feats = rng.normal(size=(100, 4)).astype(np.float32)
+    boxes = np.array([[0, 0, 0, 2, 2, 2, 0.0]], np.float32)
+    xyz, pf, valid, count = box3d.roipool3d(pts, feats, boxes, cap=512)
+    valid, count = np.asarray(valid), np.asarray(count)
+    assert xyz.shape == (1, 512, 3) and pf.shape == (1, 512, 4)
+    assert valid.sum() == count[0] == 100  # box covers the whole cloud
+    assert not valid[0, 100:].any()
+    np.testing.assert_array_equal(np.asarray(xyz)[0, 100:], 0.0)

@@ -52,3 +52,4 @@ def test_voxel_count_matches_python(rng):
     cells = np.floor((pts - mn) / 0.5).astype(np.int64)
     ref = len({tuple(c) for c in cells})
     assert got == ref
+

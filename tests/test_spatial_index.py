@@ -112,3 +112,24 @@ def test_kitti_scan_parity(kitti_scan):
         np.testing.assert_allclose(np.sort(d2, 1),
                                    np.sort(ref_d.astype(np.float64) ** 2, 1),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_radius_dist2_padding_is_inf(rng):
+    """ADVICE r1: padded dist2 slots must be inf on both backends."""
+    pts = rng.uniform(0, 10, size=(500, 3)).astype(np.float32)
+    q = pts[:5]
+    for cls in (spatial.KDTree, spatial.Octree):
+        tree = cls(pts, leaf_size=8)
+        idx, d2, cnt, _ = tree.radius(q, r=0.5, cap=32)
+        pad = idx < 0
+        assert np.isinf(d2[pad]).all()
+        assert np.isfinite(d2[~pad]).all()
+
+
+def test_knn_rejects_k_zero(rng):
+    pts = rng.uniform(0, 10, size=(100, 3)).astype(np.float32)
+    import pytest
+    for cls in (spatial.KDTree, spatial.Octree):
+        tree = cls(pts)
+        with pytest.raises(ValueError):
+            tree.knn(pts[:3], k=0)
