@@ -1,20 +1,30 @@
 #!/usr/bin/env python
-"""North-star benchmark: ICP iterations/sec/chip on the reference's real
-KITTI scan (BASELINE.json metric 1).
+"""North-star benchmarks (BASELINE.json): accuracy-GATED ICP iterations/sec
+per chip on the reference's real KITTI scan, plus registration pairs/sec.
 
-Workload: point-to-point ICP between the KITTI scan
+Workload 1 (primary metric): point-to-point ICP between the KITTI scan
 (/root/reference/Kdtree_Octree/000000.bin, 124,668 pts) voxel-downsampled to
 ~16k points and a perturbed copy — the `icp_template.py` path of the
 reference, whose hot loop is a Python for over KDTreeFlann queries
-(`Registration/main.py:116-121`). Ours is one MXU-tiled 1-NN + Procrustes per
-iteration inside a single jitted lax.fori_loop.
+(`Registration/main.py:116-121`). Ours is a hybrid schedule inside jit: the
+fused banded Pallas kernel (association + Procrustes moment reduction in ONE
+kernel per iteration) for the coarse iterations, exact VMEM-resident brute
+1-NN for the final polish. The recovered transform is CHECKED against the
+known synthetic ground truth with the reference's own success bound
+(RTE < 2.0 m and RRE < 5.0 deg, `evaluate_rt.py:16-18`) — the printed rate
+is a correct-result rate, not a free-running loop.
+
+Workload 2 (extra metric): a batch of independent scan pairs solved by the
+vmapped fixed-iteration ICP (`parallel.pair_sweep.batched_icp`) — the
+registration dataset's 342-pair sweep (`Registration/main.py:190`), all
+pairs gated on the same bound.
 
 Baseline: the same ICP iteration implemented the reference's way, charitably
 vectorized (scipy cKDTree batch query + NumPy Procrustes — strictly faster
 than the reference's per-point Python loop), measured in-process on the same
 data. vs_baseline = ours / baseline (speedup factor).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 import json
 import os
@@ -26,56 +36,126 @@ import numpy as np
 REFERENCE_BIN = "/root/reference/Kdtree_Octree/000000.bin"
 N_POINTS = 16384
 ICP_ITERS = 50
+COARSE_ITERS = 45          # fused banded kernel
+POLISH_ITERS = ICP_ITERS - COARSE_ITERS  # exact brute 1-NN
 DIST_THRESH = 5.0
+RTE_BOUND = 2.0            # reference success criterion, evaluate_rt.py:16-18
+RRE_BOUND = 5.0
+
+PAIR_BATCH = 16
+PAIR_POINTS = 4096
+PAIR_ITERS = 30
+
+
+def _perturb(pts, rng, rotvec, trans, noise=0.01):
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_rotvec(rotvec).as_matrix().astype(np.float32)
+    t = np.asarray(trans, np.float32)
+    dst = (pts @ R.T + t + rng.normal(scale=noise, size=pts.shape)).astype(
+        np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return dst, T
+
+
+def _load_scan():
+    from pctpu.core.io import read_velodyne_bin
+    if os.path.exists(REFERENCE_BIN):
+        return read_velodyne_bin(REFERENCE_BIN)
+    return np.random.default_rng(0).uniform(
+        -40, 40, (120000, 3)).astype(np.float32)
 
 
 def load_pair():
-    from pctpu.core.io import read_velodyne_bin
-    from scipy.spatial.transform import Rotation
-
-    if os.path.exists(REFERENCE_BIN):
-        pts = read_velodyne_bin(REFERENCE_BIN)
-    else:  # synthetic fallback
-        pts = np.random.default_rng(0).uniform(-40, 40, (120000, 3)).astype(np.float32)
-
+    pts = _load_scan()
     rng = np.random.default_rng(0)
     sel = rng.choice(pts.shape[0], N_POINTS, replace=False)
     src = pts[sel]
-    R = Rotation.from_rotvec([0.01, 0.02, 0.05]).as_matrix().astype(np.float32)
-    t = np.array([0.5, -0.3, 0.1], np.float32)
-    dst = (src @ R.T + t + rng.normal(scale=0.01, size=src.shape)).astype(np.float32)
-    return src, dst
+    dst, T_gt = _perturb(src, rng, [0.01, 0.02, 0.05], [0.5, -0.3, 0.1])
+    return src, dst, T_gt
 
 
-def bench_ours(src, dst):
-    import jax
+def rte_rre(T_pred, T_gt):
+    from scipy.spatial.transform import Rotation
+    D = np.linalg.inv(T_pred) @ T_gt
+    rte = float(np.linalg.norm(D[:3, 3]))
+    rre = float(np.sum(np.abs(
+        Rotation.from_matrix(D[:3, :3]).as_euler("xyz", degrees=True))))
+    return rte, rre
+
+
+def bench_ours(src, dst, T_gt):
     import jax.numpy as jnp
-    from pctpu.register.icp import icp_fixed_iters, icp_fixed_iters_banded
+    from pctpu.register.icp import icp_fixed_iters, icp_fixed_iters_banded_fused
 
     s, d = jnp.asarray(src), jnp.asarray(dst)
     mask = jnp.ones((src.shape[0],), bool)
-    coarse = ICP_ITERS * 9 // 10
 
     def run():
-        # hybrid schedule: banded sorted-window association for the coarse
-        # iterations, exact VMEM-resident brute 1-NN for the final polish
-        T1 = icp_fixed_iters_banded(s, mask, d, mask, iters=coarse,
-                                    dist_thresh=DIST_THRESH, block=2048,
-                                    window_blocks=2)
+        # hybrid schedule: fused banded kernel (association + moment
+        # reduction in one Pallas call) for the coarse iterations, exact
+        # VMEM-resident brute 1-NN for the final polish
+        T1 = icp_fixed_iters_banded_fused(s, mask, d, mask,
+                                          iters=COARSE_ITERS,
+                                          dist_thresh=DIST_THRESH,
+                                          block=2048, window_blocks=2)
         return icp_fixed_iters(s, mask, d, mask, init_T=T1,
-                               iters=ICP_ITERS - coarse,
+                               iters=POLISH_ITERS,
                                dist_thresh=DIST_THRESH, query_chunk=2048)
 
-    np.asarray(run())  # compile + warmup (host fetch = true sync; the axon
-    # tunnel's block_until_ready does not actually block)
+    T = np.asarray(run())  # compile + warmup (host fetch = true sync; the
+    # axon tunnel's block_until_ready does not actually block)
+    rte, rre = rte_rre(T, T_gt)
+    assert rte < RTE_BOUND and rre < RRE_BOUND, (
+        f"ICP result fails the reference success bound: RTE={rte:.3f} "
+        f"(<{RTE_BOUND}), RRE={rre:.3f} (<{RRE_BOUND})")
     reps = 5
     t0 = time.perf_counter()
     outs = [run() for _ in range(reps)]  # dispatched back-to-back
-    T = np.asarray(outs[-1])
-    for o in outs[:-1]:
+    for o in outs:
         np.asarray(o)
     dt = (time.perf_counter() - t0) / reps
-    return ICP_ITERS / dt, T
+    return ICP_ITERS / dt, rte, rre
+
+
+def bench_pairs():
+    """Batched independent registration pairs (gated) -> pairs/sec."""
+    import jax.numpy as jnp
+    from pctpu.parallel.pair_sweep import batched_icp
+
+    pts = _load_scan()
+    rng = np.random.default_rng(1)
+    srcs, dsts, gts = [], [], []
+    for b in range(PAIR_BATCH):
+        sel = rng.choice(pts.shape[0], PAIR_POINTS, replace=False)
+        src = pts[sel]
+        rotvec = rng.uniform(-0.05, 0.05, 3)
+        trans = rng.uniform(-0.5, 0.5, 3)
+        dst, T = _perturb(src, rng, rotvec, trans)
+        srcs.append(src)
+        dsts.append(dst)
+        gts.append(T)
+    s = jnp.asarray(np.stack(srcs))
+    d = jnp.asarray(np.stack(dsts))
+    m = jnp.ones((PAIR_BATCH, PAIR_POINTS), bool)
+
+    def run():
+        return batched_icp(s, m, d, m, iters=PAIR_ITERS,
+                           dist_thresh=DIST_THRESH, query_chunk=2048)
+
+    Ts = np.asarray(run())
+    for i in range(PAIR_BATCH):
+        rte, rre = rte_rre(Ts[i], gts[i])
+        assert rte < RTE_BOUND and rre < RRE_BOUND, (
+            f"pair {i} fails the bound: RTE={rte:.3f}, RRE={rre:.3f}")
+    reps = 3
+    t0 = time.perf_counter()
+    outs = [run() for _ in range(reps)]
+    for o in outs:
+        np.asarray(o)
+    dt = (time.perf_counter() - t0) / reps
+    return PAIR_BATCH / dt
 
 
 def bench_reference_equivalent(src, dst):
@@ -104,15 +184,32 @@ def bench_reference_equivalent(src, dst):
     return 1.0 / dt
 
 
+def bench_reference_pairs(src, dst):
+    """Reference-style per-pair solve rate on PAIR_POINTS-sized clouds."""
+    per_iter = 1.0 / bench_reference_equivalent(src[:PAIR_POINTS],
+                                                dst[:PAIR_POINTS])
+    return 1.0 / (per_iter * PAIR_ITERS)
+
+
 def main():
-    src, dst = load_pair()
-    ours_ips, T = bench_ours(src, dst)
+    src, dst, T_gt = load_pair()
+    ours_ips, rte, rre = bench_ours(src, dst, T_gt)
+    pairs_ps = bench_pairs()
     base_ips = bench_reference_equivalent(src, dst)
+    base_pairs = bench_reference_pairs(src, dst)
     out = {
         "metric": "icp_iters_per_sec_per_chip",
         "value": round(ours_ips, 2),
         "unit": "iters/s",
         "vs_baseline": round(ours_ips / base_ips, 2),
+        "extra": {
+            "gated": True,
+            "rte_m": round(rte, 4),
+            "rre_deg": round(rre, 4),
+            "registration_pairs_per_sec": round(pairs_ps, 2),
+            "pairs_vs_baseline": round(pairs_ps / base_pairs, 2),
+            "pairs_gated": True,
+        },
     }
     print(json.dumps(out))
 

@@ -38,6 +38,8 @@ class BandedDB(NamedTuple):
     lut: jax.Array        # [LUT_BINS+1] axis coord -> approx sorted position
     lo: jax.Array         # scalar axis range low
     hi: jax.Array         # scalar axis range high
+    dbt4: jax.Array       # [4, Np] coords + ones row (moment-extract matmul)
+    pen2: jax.Array       # [1, Np] |b|^2 + penalty (MXU distance epilogue)
 
 
 LUT_BINS = 1024
@@ -77,7 +79,26 @@ def build_banded(db: jax.Array, db_mask: Optional[jax.Array] = None,
     ax_hi = jnp.take(hi, axis)
     grid_vals = ax_lo + (ax_hi - ax_lo) * jnp.arange(LUT_BINS + 1) / LUT_BINS
     lut = jnp.searchsorted(coords, grid_vals).astype(jnp.int32)
-    return BandedDB(dbt, penalty, coords, order_p, axis, n, lut, ax_lo, ax_hi)
+    dbt4 = jnp.concatenate([dbt, jnp.ones((1, np_), jnp.float32)], axis=0)
+    pen2 = jnp.sum(dbt * dbt, axis=0, keepdims=True) + penalty
+    return BandedDB(dbt, penalty, coords, order_p, axis, n, lut, ax_lo,
+                    ax_hi, dbt4, pen2)
+
+
+def _tile_offsets(bdb: BandedDB, qvals: jax.Array, query_tile: int,
+                  block: int, window_blocks: int) -> jax.Array:
+    """Per-query-tile first-window-block offsets via the bucket LUT.
+
+    qvals: [Mp] sort-axis coordinate per (padded) query; only tile CENTERS
+    matter, so one query per tile is sampled.
+    """
+    nb = bdb.dbt.shape[1] // block
+    centers_val = qvals.reshape(-1, query_tile)[:, query_tile // 2]
+    bins = jnp.clip(((centers_val - bdb.lo) / jnp.maximum(
+        bdb.hi - bdb.lo, 1e-12) * LUT_BINS).astype(jnp.int32), 0, LUT_BINS)
+    center = bdb.lut[bins]
+    first = center // block - (window_blocks // 2)
+    return jnp.clip(first, 0, nb - window_blocks).astype(jnp.int32)
 
 
 def _banded_kernel(off_ref, q_ref, dbt_ref, pen_ref, d2_ref, idx_ref,
@@ -119,8 +140,6 @@ def nearest_banded(bdb: BandedDB, query: jax.Array,
     """query [M,3] (tiles should be sorted by bdb.axis for coherence) ->
     (d2 [M], idx [M] into the ORIGINAL db order)."""
     m = query.shape[0]
-    np_ = bdb.dbt.shape[1]
-    nb = np_ // block
     mp = _round_up(m, query_tile)
     q = jnp.zeros((mp, 3), jnp.float32).at[:m].set(query.astype(jnp.float32))
 
@@ -128,12 +147,7 @@ def nearest_banded(bdb: BandedDB, query: jax.Array,
         q, jnp.broadcast_to(bdb.axis[None, None], (mp, 1)), axis=1)[:, 0]
     # approximate sorted position via the bucket LUT (no per-query binary
     # search); only tile CENTERS matter, so sample one query per tile
-    centers_val = qvals.reshape(-1, query_tile)[:, query_tile // 2]
-    bins = jnp.clip(((centers_val - bdb.lo) / jnp.maximum(
-        bdb.hi - bdb.lo, 1e-12) * LUT_BINS).astype(jnp.int32), 0, LUT_BINS)
-    center = bdb.lut[bins]
-    first = center // block - (window_blocks // 2)
-    offsets = jnp.clip(first, 0, nb - window_blocks).astype(jnp.int32)
+    offsets = _tile_offsets(bdb, qvals, query_tile, block, window_blocks)
 
     mem = pltpu.ANY if interpret else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -161,3 +175,114 @@ def nearest_banded(bdb: BandedDB, query: jax.Array,
     d2 = d2[:m, 0]
     sidx = sidx[:m, 0]
     return d2, bdb.order[sidx]
+
+
+def _moments_kernel(off_ref, q_ref, qpen_ref, dbt_ref, pen_ref, out_ref,
+                    *, block: int, window_blocks: int, thresh2: float):
+    """Fused ICP iteration epilogue: banded 1-NN association AND the
+    weighted-Procrustes moment reduction in ONE kernel.
+
+    Instead of writing per-query (d2, idx) to HBM and gathering dst[idx]
+    afterwards (a 16k dynamic gather per iteration — slow on TPU), the
+    argmin's db COORDINATES are tracked in-register via a one-hot select,
+    and the tile reduces directly to the homogeneous moment matrix
+    M = sum_i w_i [p_i;1][q_i;1]^T (p = transformed src, q = matched db
+    point, w = 1[d2 < thresh2 and valid]) — all 16 sufficient statistics of
+    the rigid alignment in one [TQ,4]x[TQ,4] contraction. The TPU grid is
+    sequential, so tiles accumulate into the single (4,4) output block.
+    """
+    i = pl.program_id(0)
+    q = q_ref[:]                                   # [TQ,3] transformed src
+    qpen = qpen_ref[:]                             # [TQ,1] 0 valid / BIG
+    tq = q.shape[0]
+    base = off_ref[i]
+    qn = jnp.sum(q * q, axis=1, keepdims=True)     # [TQ,1] |p|^2
+
+    def body(j, carry):
+        minv, mxyz1 = carry
+        start = (base + j) * block
+        win4 = dbt_ref[:, pl.ds(start, block)]     # [4,block] coords + ones
+        # shifted distance d2' = -2 p.b + |b|^2 (+ mask penalty); |p|^2 is
+        # per-row constant so the argmin is unchanged — MXU does the heavy
+        # lifting instead of 9 VPU passes of explicit (p-b)^2
+        cross = jax.lax.dot_general(
+            q, win4[0:3, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [TQ,block]
+        d2 = pen_ref[0:1, pl.ds(start, block)] - 2.0 * cross
+        tmin = jnp.min(d2, axis=1, keepdims=True)
+        # one-hot select of the argmin row(s); ties average out through the
+        # count column of the extract matmul below
+        sel = (d2 <= tmin).astype(jnp.float32)     # [TQ,block]
+        ext = jax.lax.dot_general(
+            sel, win4, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [TQ,4] = [cx,cy,cz,cnt]
+        better = tmin < minv
+        return (jnp.where(better, tmin, minv),
+                jnp.where(better, ext, mxyz1))
+
+    init = (jnp.full((tq, 1), BIG),
+            jnp.concatenate([jnp.zeros((tq, 3), jnp.float32),
+                             jnp.ones((tq, 1), jnp.float32)], axis=1))
+    minv, mxyz1 = jax.lax.fori_loop(0, window_blocks, body, init)
+
+    cnt = jnp.maximum(mxyz1[:, 3:4], 1.0)
+    matched = mxyz1[:, 0:3] / cnt                  # tie-averaged coords
+    w = ((minv + qn + qpen) < jnp.float32(thresh2)).astype(jnp.float32)
+    ones = jnp.ones((tq, 1), jnp.float32)
+    hp = jnp.concatenate([q, ones], axis=1) * w                      # [TQ,4]
+    hq = jnp.concatenate([matched, ones], axis=1)                    # [TQ,4]
+    m44 = jax.lax.dot_general(hp, hq, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)    # [4,4]
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = m44
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[:] = out_ref[:] + m44
+
+
+@partial(jax.jit, static_argnames=("block", "window_blocks", "query_tile",
+                                   "dist_thresh", "interpret"))
+def icp_moments_banded(bdb: BandedDB, query: jax.Array,
+                       query_mask: jax.Array,
+                       dist_thresh: float = 5.0,
+                       block: int = 2048, window_blocks: int = 2,
+                       query_tile: int = 512, interpret: bool = False):
+    """One fused ICP-association + moment-reduction pass.
+
+    query [M,3] = transformed, SORTED src points; query_mask [M] validity.
+    Returns the homogeneous moment matrix M [4,4] = sum w [p;1][q;1]^T
+    summed over all tiles (q = matched db point in ORIGINAL coordinates).
+    """
+    m = query.shape[0]
+    mp = _round_up(m, query_tile)
+    q = jnp.zeros((mp, 3), jnp.float32).at[:m].set(query.astype(jnp.float32))
+    qpen = jnp.full((mp, 1), BIG, jnp.float32).at[:m, 0].set(
+        jnp.where(query_mask, 0.0, BIG))
+
+    qvals = jnp.take_along_axis(
+        q, jnp.broadcast_to(bdb.axis[None, None], (mp, 1)), axis=1)[:, 0]
+    offsets = _tile_offsets(bdb, qvals, query_tile, block, window_blocks)
+
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    ntiles = mp // query_tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((query_tile, 3), lambda i, off: (i, 0)),
+            pl.BlockSpec((query_tile, 1), lambda i, off: (i, 0)),
+            pl.BlockSpec(memory_space=mem),
+            pl.BlockSpec(memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((4, 4), lambda i, off: (0, 0)),
+    )
+    return pl.pallas_call(
+        partial(_moments_kernel, block=block, window_blocks=window_blocks,
+                thresh2=float(dist_thresh) ** 2),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, 4), jnp.float32),
+        interpret=interpret,
+    )(offsets, q, qpen, bdb.dbt4, bdb.pen2)

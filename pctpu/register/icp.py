@@ -218,6 +218,47 @@ def icp_fixed_iters_banded(src: jax.Array, src_mask: jax.Array,
     return jax.lax.fori_loop(0, iters, body, init_T.astype(jnp.float32))
 
 
+@partial(jax.jit, static_argnames=("iters", "dist_thresh", "block",
+                                   "window_blocks", "query_tile", "interpret"))
+def icp_fixed_iters_banded_fused(src: jax.Array, src_mask: jax.Array,
+                                 dst: jax.Array, dst_mask: jax.Array,
+                                 init_T: Optional[jax.Array] = None,
+                                 iters: int = 30, dist_thresh: float = 5.0,
+                                 block: int = 2048, window_blocks: int = 2,
+                                 query_tile: int = 512,
+                                 interpret: bool = False) -> jax.Array:
+    """Fully fused banded ICP: each iteration is ONE Pallas kernel that does
+    windowed 1-NN association AND the weighted-Procrustes moment reduction
+    (`pctpu.ops.pallas_banded.icp_moments_banded`) — no per-point gather, no
+    [N]-sized intermediates in HBM. The only per-iteration XLA work outside
+    the kernel is the [N,3]x[3,3] transform apply, the tile-offset LUT
+    lookup, and a 3x3 SVD. Semantics identical to `icp_fixed_iters_banded`.
+    """
+    from pctpu.ops.pallas_banded import build_banded, icp_moments_banded
+    from pctpu.register.procrustes import procrustes_from_moments
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=jnp.float32)
+    bdb = build_banded(dst, dst_mask, block=block)
+    n = src.shape[0]
+    svals = jnp.take_along_axis(
+        src, jnp.broadcast_to(bdb.axis[None, None], (n, 1)), axis=1)[:, 0]
+    svals = jnp.where(src_mask, svals, jnp.float32(1e30))
+    sorder = jnp.argsort(svals)
+    src_s = src[sorder]
+    mask_s = src_mask[sorder]
+
+    def body(_, T):
+        src_t = se3.apply_transform(T, src_s)
+        m16 = icp_moments_banded(bdb, src_t, mask_s,
+                                 dist_thresh=dist_thresh, block=block,
+                                 window_blocks=window_blocks,
+                                 query_tile=query_tile, interpret=interpret)
+        R, t = procrustes_from_moments(m16)
+        return se3.make_transform(R, t) @ T
+
+    return jax.lax.fori_loop(0, iters, body, init_T.astype(jnp.float32))
+
+
 def _so3_exp(omega: jax.Array) -> jax.Array:
     """Rodrigues' formula, [3] -> [3,3] (Taylor-safe near zero)."""
     theta = jnp.linalg.norm(omega)

@@ -49,6 +49,33 @@ def weighted_procrustes(src: jax.Array, dst: jax.Array,
     return R, t
 
 
+def procrustes_from_moments(M: jax.Array, allow_reflection: bool = False):
+    """Rigid alignment from the homogeneous moment matrix
+    M [4,4] = sum_i w_i [p_i;1][q_i;1]^T, i.e. M[:3,:3] = sum w p q^T,
+    M[:3,3] = sum w p, M[3,:3] = sum w q, M[3,3] = sum w (p = src, q = dst).
+    Algebraically identical to `weighted_procrustes`:
+    H = sum w q p^T - Sq Sp^T / Sw. This is the epilogue of the fused banded
+    ICP kernel (pctpu.ops.pallas_banded.icp_moments_banded) and the
+    psum-reduction form of the point-sharded multi-device ICP.
+    """
+    sw = jnp.maximum(M[3, 3], 1e-12)
+    sp = M[:3, 3]
+    sq = M[3, :3]
+    spq = M[:3, :3].T  # q-major: sum w q p^T
+    src_c = sp / sw
+    dst_c = sq / sw
+    H = spq - jnp.outer(sq, sp) / sw
+    U, _, Vt = jnp.linalg.svd(H)
+    if allow_reflection:
+        R = U @ Vt
+    else:
+        d = jnp.linalg.det(U @ Vt)
+        S = jnp.diag(jnp.array([1.0, 1.0, 1.0], jnp.float32)).at[2, 2].set(d)
+        R = U @ S @ Vt
+    t = dst_c - R @ src_c
+    return R, t
+
+
 def procrustes_transform(src: jax.Array, dst: jax.Array,
                          weights: Optional[jax.Array] = None) -> jax.Array:
     """Same, returned as a 4x4 homogeneous transform."""

@@ -58,3 +58,78 @@ def test_nearest_banded_respects_mask(rng):
                              window_blocks=4, query_tile=128,
                              interpret=True)
     assert np.all(np.asarray(idx) < 700)
+
+
+def test_icp_moments_banded_matches_unfused(rng):
+    """Fused kernel's moment matrix reproduces the explicit association +
+    weighted_procrustes pipeline (same window, same threshold)."""
+    import jax
+    from pctpu.ops.pallas_banded import (build_banded, icp_moments_banded,
+                                         nearest_banded)
+    from pctpu.register.procrustes import (procrustes_from_moments,
+                                           weighted_procrustes)
+
+    db = rng.uniform(-20, 20, size=(2000, 3)).astype(np.float32)
+    q = (db[:1500] + rng.normal(scale=0.05, size=(1500, 3))).astype(np.float32)
+    # sort queries by the band axis the way the fused ICP driver does
+    bdb = build_banded(jnp.asarray(db), block=256)
+    axis = int(np.asarray(bdb.axis))
+    q = q[np.argsort(q[:, axis])]
+    mask = jnp.ones((1500,), bool)
+
+    m44 = icp_moments_banded(bdb, jnp.asarray(q), mask, dist_thresh=5.0,
+                             block=256, window_blocks=4, query_tile=256,
+                             interpret=True)
+    R_f, t_f = procrustes_from_moments(m44)
+
+    d2, idx = nearest_banded(bdb, jnp.asarray(q), block=256,
+                             window_blocks=4, query_tile=256, interpret=True)
+    w = (np.asarray(d2) < 25.0).astype(np.float32)
+    R_u, t_u = weighted_procrustes(jnp.asarray(q),
+                                   jnp.asarray(db)[idx], jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(R_f), np.asarray(R_u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_f), np.asarray(t_u), atol=1e-3)
+
+
+def test_icp_moments_banded_respects_masks(rng):
+    """Masked queries and masked db points contribute zero weight."""
+    from pctpu.ops.pallas_banded import build_banded, icp_moments_banded
+
+    db = rng.uniform(-5, 5, size=(600, 3)).astype(np.float32)
+    db_mask = np.ones(600, bool)
+    db_mask[500:] = False
+    q = db[:400].copy()
+    q_mask = np.ones(400, bool)
+    q_mask[300:] = False
+    bdb = build_banded(jnp.asarray(db), jnp.asarray(db_mask), block=128)
+    m44 = icp_moments_banded(bdb, jnp.asarray(q), jnp.asarray(q_mask),
+                             dist_thresh=5.0, block=128, window_blocks=8,
+                             query_tile=128, interpret=True)
+    m44 = np.asarray(m44)
+    # every VALID query self-matches (q is a subset of db, full window)
+    assert m44[3, 3] == 300.0
+    # moment centroids equal the valid-query centroid on both sides
+    np.testing.assert_allclose(m44[:3, 3] / m44[3, 3], q[:300].mean(0),
+                               atol=1e-4)
+    np.testing.assert_allclose(m44[3, :3] / m44[3, 3], q[:300].mean(0),
+                               atol=1e-4)
+
+
+def test_icp_fixed_iters_banded_fused_converges(rng):
+    """End-to-end fused ICP recovers a small rigid transform."""
+    from scipy.spatial.transform import Rotation
+    from pctpu.register.icp import icp_fixed_iters_banded_fused
+
+    src = rng.uniform(-20, 20, size=(2000, 3)).astype(np.float32)
+    R = Rotation.from_rotvec([0.01, 0.02, 0.05]).as_matrix().astype(np.float32)
+    t = np.array([0.5, -0.3, 0.1], np.float32)
+    dst = (src @ R.T + t).astype(np.float32)
+    m = jnp.ones((2000,), bool)
+    T = icp_fixed_iters_banded_fused(jnp.asarray(src), m, jnp.asarray(dst), m,
+                                     iters=25, dist_thresh=5.0, block=512,
+                                     window_blocks=2, query_tile=256,
+                                     interpret=True)
+    Tg = np.eye(4, dtype=np.float32)
+    Tg[:3, :3] = R
+    Tg[:3, 3] = t
+    assert np.abs(np.asarray(T) - Tg).max() < 0.05
