@@ -159,3 +159,109 @@ def test_harris6d(rng):
                                       radius=0.4, threshold=1e-5, k_cap=96)
     assert np.all(np.isfinite(np.asarray(res.response)))
     assert np.asarray(res.keypoint_mask).sum() >= 1
+
+
+# ---------------------------------------------------------------------------
+# Real-scan regression tests: the Wachtberg outdoor LiDAR scan the reference
+# ships for its PCL keypoint demo (`PCLKeypoints/data/scan_004_points.dat`,
+# read per `PCLKeypoints/src/utils.hpp:22-63` incl. its random subsampling).
+# Golden counts recorded from this implementation on 2026-08-19; bands allow
+# minor cross-platform numeric drift without masking real regressions.
+# ---------------------------------------------------------------------------
+import os
+import pytest
+
+WACHTBERG = "/root/reference/PCLKeypoints/data/scan_004_points.dat"
+needs_scan = pytest.mark.skipif(not os.path.exists(WACHTBERG),
+                                reason="reference Wachtberg scan missing")
+
+
+@pytest.fixture(scope="module")
+def wachtberg():
+    from pctpu.core.io import read_freiburg_dat
+    return read_freiburg_dat(WACHTBERG, max_points=6000, seed=0)
+
+
+@needs_scan
+def test_iss_wachtberg_golden(wachtberg):
+    res = features.iss_keypoints(jnp.asarray(wachtberg), salient_radius=1.0,
+                                 non_max_radius=0.7, k_cap=96)
+    count = int(np.asarray(res.keypoint_mask).sum())
+    assert 404 <= count <= 504, f"ISS keypoint count drifted: {count} (golden 454)"
+    # keypoints are actual scan points with positive saliency
+    sal = np.asarray(res.saliency)[np.asarray(res.keypoint_mask)]
+    assert (sal > 0).all()
+
+
+@needs_scan
+def test_harris_wachtberg_golden(wachtberg):
+    res = features.harris3d_keypoints(jnp.asarray(wachtberg), radius=0.8,
+                                      threshold=1e-4, k_cap=96)
+    count = int(np.asarray(res.keypoint_mask).sum())
+    assert 63 <= count <= 103, f"Harris keypoint count drifted: {count} (golden 83)"
+
+
+@needs_scan
+def test_sift_wachtberg_golden(wachtberg):
+    res = features.sift3d_keypoints(jnp.asarray(wachtberg), min_scale=0.4,
+                                    n_octaves=3, scales_per_octave=4,
+                                    min_contrast=0.01, k_cap=96)
+    count = int(np.asarray(res.keypoint_mask).sum())
+    assert 843 <= count <= 1043, f"SIFT keypoint count drifted: {count} (golden 943)"
+
+
+@needs_scan
+def test_iss_wachtberg_rotation_equivariant(wachtberg):
+    """Keypoint SET follows a rigid rotation of the real scan (up to NMS
+    tie-breaks near equal saliency)."""
+    R = Rotation.from_rotvec([0.0, 0.0, 0.7]).as_matrix().astype(np.float32)
+    rot = wachtberg @ R.T
+    a = features.iss_keypoints(jnp.asarray(wachtberg), salient_radius=1.0,
+                               non_max_radius=0.7, k_cap=96)
+    b = features.iss_keypoints(jnp.asarray(rot), salient_radius=1.0,
+                               non_max_radius=0.7, k_cap=96)
+    ka = np.asarray(a.keypoint_mask)
+    kb = np.asarray(b.keypoint_mask)
+    agree = (ka == kb).mean()
+    assert agree > 0.98, f"rotation changed {100 * (1 - agree):.1f}% of keypoints"
+
+
+@needs_scan
+def test_fpfh_shot_wachtberg(wachtberg, tmp_path):
+    """Descriptors on the real scan: finite, PCL-normalized, and the PLY
+    artifact writer round-trips the keypoints."""
+    p = jnp.asarray(wachtberg)
+    d = np.asarray(features.fpfh(p, radius=1.5, k_cap=64, normal_k=16))
+    assert np.isfinite(d).all()
+    # PCL normalization: each of the 3 sub-histograms sums to ~100 where
+    # the point has neighbors (some sparse points have empty histograms)
+    rowsum = d.sum(1)
+    assert 280.0 < rowsum[rowsum > 0].mean() < 302.0
+
+    iss = features.iss_keypoints(p, salient_radius=1.0, non_max_radius=0.7,
+                                 k_cap=96)
+    kp = wachtberg[np.asarray(iss.keypoint_mask)][:64]
+    s = np.asarray(features.shot352(p, jnp.asarray(kp), radius=1.5, k_cap=96))
+    assert s.shape == (64, 352)
+    assert np.isfinite(s).all()
+    norms = np.linalg.norm(s, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    from pctpu.utils.viz import write_keypoints_ply
+    out = tmp_path / "wachtberg_keypoints.ply"
+    write_keypoints_ply(str(out), wachtberg, np.asarray(iss.keypoint_mask))
+    assert out.stat().st_size > 0
+
+
+def test_iss_harris_kitti_golden(kitti_scan, rng):
+    """Keypoints on the real KITTI velodyne scan (the reference's
+    `Kdtree_Octree/000000.bin`). Golden counts recorded 2026-08-19."""
+    sub = kitti_scan[rng.choice(kitti_scan.shape[0], 6000, replace=False)]
+    p = jnp.asarray(sub)
+    iss = features.iss_keypoints(p, salient_radius=1.0, non_max_radius=0.7,
+                                 k_cap=96)
+    count = int(np.asarray(iss.keypoint_mask).sum())
+    assert 389 <= count <= 489, f"KITTI ISS count drifted: {count} (golden 439)"
+    har = features.harris3d_keypoints(p, radius=0.8, threshold=1e-4, k_cap=96)
+    hcount = int(np.asarray(har.keypoint_mask).sum())
+    assert 52 <= hcount <= 92, f"KITTI Harris count drifted: {hcount} (golden 72)"
