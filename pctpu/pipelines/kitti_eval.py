@@ -17,6 +17,11 @@ import numpy as np
 
 IOU_THRESH = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
 
+# official devkit: GT of a neighboring class is IGNORED for the class under
+# evaluation — a detection matching it is neither TP nor FP
+# (capability spec: Final_Project/README.md:232-239 -> prclibo/kitti_eval)
+NEIGHBOR_CLASSES = {"Car": ("Van",), "Pedestrian": ("Person_sitting",)}
+
 # difficulty: (min bbox height px, max occlusion, max truncation)
 DIFFICULTY = {
     "easy": (40.0, 0, 0.15),
@@ -145,30 +150,66 @@ def _gt_in_difficulty(gt: Box, difficulty: str) -> bool:
             and gt.truncated <= max_trunc)
 
 
+def _dontcare_overlap(det: Box, dc: Box) -> float:
+    """Official devkit criterion for DontCare regions: 2D intersection over
+    the DETECTION's area (boxoverlap criterion=1), not IoU."""
+    a, b = det.bbox, dc.bbox
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    area = max((a[2] - a[0]) * (a[3] - a[1]), 1e-9)
+    return ix * iy / area
+
+
 def _match_frame(gts: List[Box], dets: List[Box], cls: str,
                  difficulty: str, metric) -> Tuple[List[Tuple[float, bool]],
                                                    int]:
-    """Greedy best-IoU matching. Returns ([(score, is_tp)], n_valid_gt)."""
+    """Greedy best-IoU matching with the official ignore semantics:
+
+    - GT failing the difficulty gate, or of a NEIGHBORING class (Van for
+      Car, Person_sitting for Pedestrian): matched detections are neither
+      TP nor FP.
+    - unmatched detections overlapping a DontCare region (intersection /
+      detection area >= the class threshold) are neither TP nor FP.
+    - unmatched detections whose 2D bbox is shorter than the difficulty's
+      min height are ignored, not FP (they could never match a valid GT).
+
+    Returns ([(score, is_tp)], n_valid_gt).
+    """
     thresh = IOU_THRESH.get(cls, 0.5)
-    gts_cls = [g for g in gts if g.type == cls]
-    valid = [_gt_in_difficulty(g, difficulty) for g in gts_cls]
+    min_h = DIFFICULTY[difficulty][0]
+    neighbors = NEIGHBOR_CLASSES.get(cls, ())
+    gts_cls = [g for g in gts if g.type == cls or g.type in neighbors]
+    valid = [g.type == cls and _gt_in_difficulty(g, difficulty)
+             for g in gts_cls]
+    dontcare = [g for g in gts if g.type == "DontCare"]
     dets_cls = sorted([d for d in dets if d.type == cls],
                       key=lambda d: -d.score)
     taken = [False] * len(gts_cls)
     out = []
     for d in dets_cls:
-        best, best_i = 0.0, -1
+        # prefer a valid GT when both a valid and an ignored GT clear the
+        # threshold (the devkit assigns TPs from valid GT first)
+        best_v, best_vi = 0.0, -1
+        best_x, best_xi = 0.0, -1
         for i, g in enumerate(gts_cls):
             if taken[i]:
                 continue
             v = metric(d, g)
-            if v > best:
-                best, best_i = v, i
-        if best >= thresh and best_i >= 0:
-            taken[best_i] = True
-            if valid[best_i]:
-                out.append((d.score, True))
-            # match to a don't-care-difficulty GT: neither TP nor FP
+            if valid[i]:
+                if v > best_v:
+                    best_v, best_vi = v, i
+            elif v > best_x:
+                best_x, best_xi = v, i
+        if best_v >= thresh:
+            taken[best_vi] = True
+            out.append((d.score, True))
+        elif best_x >= thresh:
+            taken[best_xi] = True
+            # matched an ignored GT: neither TP nor FP
+        elif any(_dontcare_overlap(d, dc) >= thresh for dc in dontcare):
+            pass  # inside a DontCare region: neither TP nor FP
+        elif (d.bbox[3] - d.bbox[1]) < min_h:
+            pass  # too small to ever match a valid GT at this difficulty
         else:
             out.append((d.score, False))
     return out, sum(valid)

@@ -109,3 +109,78 @@ def test_difficulty_bins(tmp_path):
     res = KE.evaluate_detections([str(gp)], [str(dp)], classes=("Car",))
     assert np.isnan(res["Car"]["easy"])  # no easy GT
     assert res["Car"]["moderate"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_neighbor_class_not_penalized(tmp_path):
+    """Official protocol: a Car detection matching a Van GT is neither TP
+    nor FP (NEIGHBOR_CLASSES); same for Pedestrian vs Person_sitting."""
+    gt_car = make_box(x=0.0)
+    gt_van = make_box(cls="Van", x=20.0)
+    gts = [gt_car, gt_van]
+    # detections: one on the Car, one (higher score) exactly on the Van
+    d1 = KE.Box(**{**vars(gt_car), "score": 90.0})
+    d2 = KE.Box(**{**vars(gt_van), "type": "Car", "score": 95.0})
+    gp, dp = tmp_path / "g.txt", tmp_path / "d.txt"
+    write_label(gp, gts)
+    write_label(dp, [d1, d2], with_score=True)
+    res = KE.evaluate_detections([str(gp)], [str(dp)], classes=("Car",),
+                                 metric="bev")
+    # without neighbor handling the Van-matched det would be a
+    # higher-scoring FP and easy AP would drop below 1
+    assert res["Car"]["easy"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_dontcare_region_not_penalized(tmp_path):
+    """A detection inside a DontCare region (intersection / det area >=
+    threshold) is neither TP nor FP."""
+    gt_car = make_box(x=0.0)
+    dc = KE.Box(type="DontCare", truncated=-1.0, occluded=-1,
+                bbox=np.array([300.0, 50.0, 500.0, 250.0]),
+                dims=np.array([-1.0, -1.0, -1.0]),
+                loc=np.array([-1000.0, -1000.0, -1000.0]), ry=-10.0)
+    d1 = KE.Box(**{**vars(gt_car), "score": 90.0})
+    d2 = make_box(x=60.0, z=50.0, score=95.0)           # far from the GT
+    d2.bbox = np.array([350.0, 100.0, 420.0, 150.0])    # inside DontCare
+    gp, dp = tmp_path / "g.txt", tmp_path / "d.txt"
+    write_label(gp, [gt_car, dc])
+    write_label(dp, [d1, d2], with_score=True)
+    res = KE.evaluate_detections([str(gp)], [str(dp)], classes=("Car",),
+                                 metric="bev")
+    assert res["Car"]["easy"] == pytest.approx(1.0, abs=1e-6)
+    # same detection OUTSIDE the DontCare region IS a false positive
+    d2.bbox = np.array([600.0, 100.0, 680.0, 150.0])
+    write_label(dp, [d1, d2], with_score=True)
+    res = KE.evaluate_detections([str(gp)], [str(dp)], classes=("Car",),
+                                 metric="bev")
+    assert res["Car"]["easy"] < 1.0
+
+
+def test_small_detection_ignored_at_easy(tmp_path):
+    """An unmatched detection shorter than the difficulty's min bbox height
+    is ignored (it could never match a valid GT at that difficulty)."""
+    gt_car = make_box(x=0.0)            # bbox_h=50 -> easy-valid
+    d1 = KE.Box(**{**vars(gt_car), "score": 90.0})
+    d_small = make_box(x=60.0, z=50.0, score=95.0, bbox_h=30.0)  # h=30 px
+    gp, dp = tmp_path / "g.txt", tmp_path / "d.txt"
+    write_label(gp, [gt_car])
+    write_label(dp, [d1, d_small], with_score=True)
+    res = KE.evaluate_detections([str(gp)], [str(dp)], classes=("Car",))
+    assert res["Car"]["easy"] == pytest.approx(1.0, abs=1e-6)   # ignored
+    assert res["Car"]["moderate"] < 1.0                          # real FP
+
+
+def test_ap_r40_hand_computed(tmp_path):
+    """2 GT; detections (score desc): TP, FP, TP ->
+    PR points (r=.5,p=1), (r=.5,p=.5), (r=1,p=2/3);
+    R40 AP = (20*1 + 20*(2/3)) / 40 = 5/6."""
+    g1 = make_box(x=0.0)
+    g2 = make_box(x=20.0)
+    d1 = KE.Box(**{**vars(g1), "score": 3.0})
+    d_fp = make_box(x=60.0, z=50.0, score=2.0)
+    d2 = KE.Box(**{**vars(g2), "score": 1.0})
+    gp, dp = tmp_path / "g.txt", tmp_path / "d.txt"
+    write_label(gp, [g1, g2])
+    write_label(dp, [d1, d_fp, d2], with_score=True)
+    res = KE.evaluate_detections([str(gp)], [str(dp)], classes=("Car",),
+                                 metric="bev")
+    assert res["Car"]["easy"] == pytest.approx(5.0 / 6.0, abs=1e-6)
