@@ -31,9 +31,13 @@ def dbscan(data: jax.Array, eps: float, min_pts: int,
            k_cap: int = 64, max_rounds: int = 64):
     """data [N,D<=3] -> labels [N] int32 (-1 = noise).
 
-    k_cap bounds the neighbor list per point; points in eps-balls denser
-    than k_cap still work (count is exact; propagation uses the k_cap
-    nearest, which preserves connectivity through dense regions).
+    k_cap bounds the neighbor list per point. Core-point detection is EXACT
+    (count is uncapped), but label propagation runs over each point's k_cap
+    NEAREST neighbors — a k-NN subgraph of the eps-graph. For natural data
+    this subgraph is connected wherever the eps-graph is; adversarially
+    dense balls (>> k_cap points clumped at separated poles of one eps-ball)
+    can disconnect it. Use `dbscan_exact` for a truncation-proof escalating
+    wrapper, or raise k_cap.
     """
     n = data.shape[0]
     if mask is None:
@@ -78,8 +82,41 @@ def dbscan(data: jax.Array, eps: float, min_pts: int,
     return compact
 
 
+@partial(jax.jit, static_argnames=("k_cap",))
+def _max_radius_count(data: jax.Array, eps: float,
+                      mask: Optional[jax.Array], k_cap: int) -> jax.Array:
+    if mask is None:
+        mask = jnp.ones((data.shape[0],), bool)
+    res = radius_search(data, data, eps, k_cap, db_mask=mask)
+    return jnp.max(jnp.where(mask, res.count, 0))
+
+
+def dbscan_exact(data, eps: float, min_pts: int, mask=None,
+                 k_cap: int = 64, max_rounds: int = 64):
+    """Host-level escalating DBSCAN: doubles k_cap until no eps-ball
+    truncates (count <= k_cap) or k_cap covers the whole cloud.
+
+    The jitted `dbscan` propagates labels over each point's k_cap NEAREST
+    neighbors; in adversarially dense data (two hyper-dense poles inside one
+    eps-ball) that k-NN subgraph can disconnect a true cluster. Escalation
+    restores exactness at the cost of recompilation per k_cap step — use
+    this at the application layer (the DBSCAN shim does); keep `dbscan` with
+    a generous k_cap inside fully-jitted pipelines.
+    """
+    n = data.shape[0]
+    data = jnp.asarray(data)
+    while True:
+        overflow = int(_max_radius_count(data, eps, mask, k_cap))
+        if overflow <= k_cap or k_cap >= n:
+            return dbscan(data, eps, min_pts, mask=mask,
+                          k_cap=min(k_cap, n), max_rounds=max_rounds)
+        k_cap = min(max(2 * k_cap, overflow), n)
+
+
 class DBSCAN:
-    """Reference-interface shim (`Cluster_dbscan/dbscan.py:4-39`)."""
+    """Reference-interface shim (`Cluster_dbscan/dbscan.py:4-39`).
+
+    Uses the escalating exact path: truncation-proof for dense clouds."""
 
     def __init__(self, radius: float = 0.5, Min_Pts: int = 10,
                  k_cap: int = 64):
@@ -90,7 +127,7 @@ class DBSCAN:
 
     def fit(self, data):
         import numpy as np
-        self.labels_ = np.asarray(dbscan(
+        self.labels_ = np.asarray(dbscan_exact(
             jnp.asarray(np.asarray(data, np.float32)), self.radius,
             self.Min_Pts, k_cap=self.k_cap))
         return self

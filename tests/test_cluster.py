@@ -114,3 +114,39 @@ def test_segment_ground_with_normals(rng):
     g = np.asarray(ground)
     assert g[:700].mean() > 0.95
     assert g[700:].mean() < 0.2
+
+
+def test_dbscan_exact_adversarial_dense_bridge():
+    """Two hyper-dense poles (>> k_cap points each) inside ONE eps-ball:
+    the k_cap-nearest propagation graph disconnects them, the escalating
+    exact path must not (VERDICT r1 weak #7)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pctpu.cluster.dbscan import dbscan_exact
+
+    rng = np.random.default_rng(0)
+    k_cap = 16
+    pole_a = rng.normal(scale=0.01, size=(80, 2)).astype(np.float32)
+    pole_b = (rng.normal(scale=0.01, size=(80, 2))
+              + np.array([0.5, 0.0])).astype(np.float32)
+    pts = jnp.asarray(np.concatenate([pole_a, pole_b]))
+    # eps=0.6 spans both poles -> every point's eps-ball holds all 160
+    # points, far beyond k_cap=16
+    labels = np.asarray(dbscan_exact(pts, eps=0.6, min_pts=5, k_cap=k_cap))
+    assert (labels >= 0).all()
+    assert len(np.unique(labels)) == 1, (
+        f"dense bridge split into {len(np.unique(labels))} clusters")
+
+
+def test_dbscan_exact_no_escalation_needed_matches_dbscan():
+    import numpy as np
+    import jax.numpy as jnp
+    from pctpu.cluster.dbscan import dbscan, dbscan_exact
+
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(60, 2)).astype(np.float32) * 0.1
+    b = rng.normal(size=(60, 2)).astype(np.float32) * 0.1 + 5.0
+    pts = jnp.asarray(np.concatenate([a, b]))
+    l1 = np.asarray(dbscan(pts, eps=0.5, min_pts=5, k_cap=64))
+    l2 = np.asarray(dbscan_exact(pts, eps=0.5, min_pts=5, k_cap=64))
+    np.testing.assert_array_equal(l1, l2)

@@ -265,3 +265,24 @@ def test_iss_harris_kitti_golden(kitti_scan, rng):
     har = features.harris3d_keypoints(p, radius=0.8, threshold=1e-4, k_cap=96)
     hcount = int(np.asarray(har.keypoint_mask).sum())
     assert 52 <= hcount <= 92, f"KITTI Harris count drifted: {hcount} (golden 72)"
+
+
+def test_radius_nms_dense_exact(rng):
+    """A weaker candidate surrounded by > k_cap stronger-but-farther
+    candidates inside its radius must be suppressed — the round-1 capped
+    NMS could miss the suppressor (VERDICT r1 weak #5)."""
+    # 200 strong candidates on a ring of radius 0.9 around one weak center
+    n_ring = 200
+    ang = np.linspace(0, 2 * np.pi, n_ring, endpoint=False)
+    ring = np.stack([0.9 * np.cos(ang), 0.9 * np.sin(ang),
+                     np.zeros(n_ring)], 1).astype(np.float32)
+    pts = np.concatenate([np.zeros((1, 3), np.float32), ring])
+    scores = np.concatenate([[1.0], 2.0 + rng.uniform(0, 1, n_ring)]
+                            ).astype(np.float32)
+    cand = jnp.ones((n_ring + 1,), bool)
+    keep = np.asarray(features.radius_nms(jnp.asarray(pts),
+                                          jnp.asarray(scores), cand,
+                                          radius=1.0, k_cap=8))
+    assert not keep[0], "weak center survived dense NMS (truncation bug)"
+    # the single global max on the ring must survive
+    assert keep[1:][np.argmax(scores[1:])]
