@@ -19,3 +19,4 @@ native:
 
 lint:
 	python -m compileall -q pctpu tests
+	python tools/lint.py

@@ -89,7 +89,8 @@ class PointCloud:
         feats = None
         if features is not None:
             features = np.asarray(features, dtype=np.float32)
-            ffill = features[:1] if n > 0 else np.zeros((1, features.shape[1]), np.float32)
+            ffill = (features[:1] if n > 0
+                     else np.zeros((1, features.shape[1]), np.float32))
             feats = np.concatenate([features, np.repeat(ffill, pad, axis=0)], axis=0)
         return PointCloud(jnp.asarray(pts), jnp.asarray(mask),
                           None if feats is None else jnp.asarray(feats))

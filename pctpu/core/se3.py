@@ -3,7 +3,8 @@
 Parity targets in the reference (re-derived, not translated):
   * rotmat -> quaternion with sign-copy branch network: `Registration/main.py:158-168`
   * homogeneous -> (t, q_wxyz): `Registration/main.py:170-174`
-  * RTE/RRE pose-difference metric: `Registration/registration_dataset/evaluate_rt.py:21-29`
+  * RTE/RRE pose-difference metric:
+    `Registration/registration_dataset/evaluate_rt.py:21-29`
 
 Quaternions are (w, x, y, z) throughout — the convention of the reference's
 result files (`reg_result.txt` rows are `idx1,idx2,tx,ty,tz,qw,qx,qy,qz`).
@@ -28,9 +29,10 @@ def rotmat_to_quat(m: jax.Array) -> jax.Array:
     m = jnp.asarray(m)
     t = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
     qw = jnp.sqrt(jnp.maximum(0.0, 1.0 + t)) / 2
-    qx = jnp.sqrt(jnp.maximum(0.0, 1.0 + m[..., 0, 0] - m[..., 1, 1] - m[..., 2, 2])) / 2
-    qy = jnp.sqrt(jnp.maximum(0.0, 1.0 - m[..., 0, 0] + m[..., 1, 1] - m[..., 2, 2])) / 2
-    qz = jnp.sqrt(jnp.maximum(0.0, 1.0 - m[..., 0, 0] - m[..., 1, 1] + m[..., 2, 2])) / 2
+    d0, d1, d2 = m[..., 0, 0], m[..., 1, 1], m[..., 2, 2]
+    qx = jnp.sqrt(jnp.maximum(0.0, 1.0 + d0 - d1 - d2)) / 2
+    qy = jnp.sqrt(jnp.maximum(0.0, 1.0 - d0 + d1 - d2)) / 2
+    qz = jnp.sqrt(jnp.maximum(0.0, 1.0 - d0 - d1 + d2)) / 2
     qx = _copysign_ref(qx, m[..., 2, 1] - m[..., 1, 2])
     qy = _copysign_ref(qy, m[..., 0, 2] - m[..., 2, 0])
     qz = _copysign_ref(qz, m[..., 1, 0] - m[..., 0, 1])

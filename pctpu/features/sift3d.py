@@ -15,7 +15,6 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from pctpu.ops.gather import group_points
 from pctpu.ops.knn import radius_search
 from pctpu.features.nms import radius_nms
 

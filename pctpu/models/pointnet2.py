@@ -19,7 +19,7 @@ Layer specs match the reference exactly:
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -177,7 +177,8 @@ class SetAbstraction(nn.Module):
                      if self.use_xyz else grouped_feats)
             else:
                 g = grouped_xyz
-            h = SharedMLP(mlp_spec, dtype=self.dtype)(g, train, bn_momentum)  # [B,np,ns,C]
+            # h: [B, npoint, nsample, C]
+            h = SharedMLP(mlp_spec, dtype=self.dtype)(g, train, bn_momentum)
             outs.append(jnp.max(h, axis=2))                 # max over nsample
         return new_xyz, jnp.concatenate(outs, axis=-1)
 

@@ -16,7 +16,7 @@ torch DataLoader.
 from __future__ import annotations
 
 import os
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -30,13 +30,27 @@ def pc_normalize_np(xyz: np.ndarray) -> np.ndarray:
     return xyz / max(m, 1e-12)
 
 
+MODELNET40_URL = ("https://shapenet.cs.stanford.edu/media/"
+                  "modelnet40_normal_resampled.zip")
+
+
 class ModelNet40Dataset:
     """Directory layout of the 'modelnet40_normal_resampled' zip:
     <root>/<category>/<category>_XXXX.txt (x,y,z,nx,ny,nz CSV) with
-    modelnet40_train.txt / modelnet40_test.txt id lists."""
+    modelnet40_train.txt / modelnet40_test.txt id lists.
+
+    cache=True builds a PERSISTENT on-disk cache on first pass — one mmap'd
+    `.npy` of concatenated rows plus an offsets/labels `.npz` — so later
+    runs skip the CSV parse entirely (the LMDB-cache role of the reference's
+    ModelNet40Loader.py:60-101). download=True fetches the official zip when
+    the root is missing (ModelNet40Loader.py:38-40); requires network egress.
+    """
 
     def __init__(self, root: str, num_points: int = 4096, train: bool = True,
-                 cache: bool = True, seed: int = 0):
+                 cache: bool = True, seed: int = 0, download: bool = False):
+        if download and not os.path.exists(
+                os.path.join(root, "modelnet40_shape_names.txt")):
+            self._download(root)
         self.root = root
         self.num_points = num_points
         self.train = train
@@ -54,27 +68,71 @@ class ModelNet40Dataset:
             cat = "_".join(sid.split("_")[:-1])
             self.items.append(
                 (os.path.join(root, cat, sid + ".txt"), cat_index[cat]))
-        self._cache = {} if cache else None
+        self._points = None     # mmap'd [total_rows, 6]
+        self._offsets = None    # [n_items+1]
+        if cache:
+            self._load_or_build_cache(split)
+
+    @staticmethod
+    def _download(root: str) -> None:
+        import urllib.request
+        import zipfile
+        os.makedirs(root, exist_ok=True)
+        zip_path = os.path.join(root, "modelnet40_normal_resampled.zip")
+        urllib.request.urlretrieve(MODELNET40_URL, zip_path)  # noqa: S310
+        with zipfile.ZipFile(zip_path) as z:
+            # the zip nests everything under modelnet40_normal_resampled/
+            for m in z.namelist():
+                rel = m.split("/", 1)
+                if len(rel) == 2 and rel[1]:
+                    target = os.path.join(root, rel[1])
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                    if not m.endswith("/"):
+                        with z.open(m) as src, open(target, "wb") as dst:
+                            dst.write(src.read())
+        os.remove(zip_path)
+
+    def _cache_paths(self, split: str) -> Tuple[str, str]:
+        return (os.path.join(self.root, f"_pctpu_{split}_points.npy"),
+                os.path.join(self.root, f"_pctpu_{split}_meta.npz"))
+
+    def _load_or_build_cache(self, split: str) -> None:
+        pts_path, meta_path = self._cache_paths(split)
+        if os.path.exists(pts_path) and os.path.exists(meta_path):
+            meta = np.load(meta_path)
+            if meta["n_items"] == len(self.items):
+                self._offsets = meta["offsets"]
+                self._points = np.load(pts_path, mmap_mode="r")
+                return
+        rows = []
+        offsets = np.zeros(len(self.items) + 1, np.int64)
+        for i, (path, _) in enumerate(self.items):
+            pts, nrm = read_modelnet_txt(path)
+            rows.append(np.hstack([pts, nrm]).astype(np.float32))
+            offsets[i + 1] = offsets[i] + rows[-1].shape[0]
+        data = np.concatenate(rows) if rows else np.zeros((0, 6), np.float32)
+        np.save(pts_path, data)
+        np.savez(meta_path, offsets=offsets, n_items=len(self.items))
+        self._offsets = offsets
+        self._points = np.load(pts_path, mmap_mode="r")
 
     def __len__(self):
         return len(self.items)
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, int]:
         path, label = self.items[i]
-        if self._cache is not None and path in self._cache:
-            raw = self._cache[path]
+        if self._points is not None:
+            raw = self._points[self._offsets[i]:self._offsets[i + 1]]
         else:
             pts, nrm = read_modelnet_txt(path)
             raw = np.hstack([pts, nrm]).astype(np.float32)
-            if self._cache is not None:
-                self._cache[path] = raw
         # reference semantics (ModelNet40Loader.py:125-141): shuffle a prefix
         # capped at 1e4 points, keep num_points, normalize xyz
         cap = min(raw.shape[0], 10_000)
         idx = self.rng.permutation(cap)[: self.num_points]
         if idx.shape[0] < self.num_points:  # repeat if the model is tiny
             idx = np.resize(idx, self.num_points)
-        item = raw[idx].copy()
+        item = np.array(raw[idx], np.float32)
         item[:, :3] = pc_normalize_np(item[:, :3])
         return item, label
 

@@ -9,7 +9,6 @@ matrix + classification report (`:120-168`).
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import time

@@ -17,8 +17,7 @@ Replaces the reference's two trainers (Lightning harness
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -1,11 +1,17 @@
-"""Grid-hash (voxel-bucket) neighbor search — the O(N) path for big clouds.
+"""Grid-hash (voxel-bucket) neighbor search — O(27·cap) per query.
 
-This is the SURVEY.md §7 design-stance replacement for the reference's
-KD-tree/octree (`Kdtree_Octree/lesson2/`): the same voxel hash as the
-reference's voxel filter (`voxel_filter.py:30-33` h = hx + hy*Dx + hz*Dx*Dy,
-here packed into one int32 key), sort-by-key, and per-query candidate
-gathering from the 27 neighboring cells. Complexity per query drops from
-O(N) (brute tiles) to O(27 * cap_per_cell).
+Same voxel hash as the reference's voxel filter (`voxel_filter.py:30-33`
+h = hx + hy*Dx + hz*Dx*Dy, here packed into one int32 key), sort-by-key,
+and per-query candidate gathering from the 27 neighboring cells.
+
+POSITIONING (revised r2): on TPU the 27-cell candidate gather is
+dynamic-gather-bound and measured ~3 orders slower than the banded
+sorted-window kernels (`pctpu.ops.pallas_banded`) — 0.4 vs >1500 ICP
+iters/s on the 124k KITTI scan. Use this module as the CPU-mesh /
+correctness oracle and for asymptotic-complexity parity with the
+reference's spatial index; the banded kernels (1-D spatial bucketing +
+scalar-prefetched contiguous windows, i.e. grid hashing re-shaped for a
+vector machine) are the production TPU path.
 
 Guarantees: exact for radius searches with radius <= cell_size, and for kNN
 whenever the k-th neighbor lies within cell_size; candidates beyond the

@@ -63,7 +63,8 @@ def knn(query: jax.Array, db: jax.Array, k: int,
     else:
         pad_n = (-n) % db_chunk
         dbp = jnp.pad(db, ((0, pad_n), (0, 0)))
-        maskp = jnp.ones((n + pad_n,), bool) if db_mask is None else jnp.pad(db_mask, (0, pad_n))
+        maskp = (jnp.ones((n + pad_n,), bool) if db_mask is None
+                 else jnp.pad(db_mask, (0, pad_n)))
         maskp = maskp.at[n:].set(False) if pad_n else maskp
         dbt = dbp.reshape(-1, db_chunk, 3)
         maskt = maskp.reshape(-1, db_chunk)
@@ -80,7 +81,8 @@ def knn(query: jax.Array, db: jax.Array, k: int,
                 neg, sel = jax.lax.top_k(-cat_d, k)
                 return -neg, jnp.take_along_axis(cat_i, sel, axis=1)
 
-            init = (jnp.full((qc.shape[0], k), BIG), jnp.zeros((qc.shape[0], k), jnp.int32))
+            init = (jnp.full((qc.shape[0], k), BIG),
+                    jnp.zeros((qc.shape[0], k), jnp.int32))
             return jax.lax.fori_loop(0, n_tiles, body, init)
 
         d2, idx = jax.lax.map(one_chunk, qs)

@@ -15,7 +15,6 @@ thresholded consumers (ICP) are exact.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

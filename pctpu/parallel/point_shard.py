@@ -13,7 +13,6 @@ traffic is the ~13-float moment vector.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ label rows with score (`to_kitti_eval_format:56-194`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import jax

@@ -13,13 +13,11 @@ so the whole sequence reuses two compiled executables (odometry + closure).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
-from pctpu.core import se3
 from pctpu.core.cloud import PointCloud, round_up
 from pctpu.ops.voxel import voxel_downsample
 from pctpu.register.icp import icp_fixed_iters

@@ -14,7 +14,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pctpu.cluster.dbscan import dbscan
 from pctpu.cluster.plane_ransac import segment_ground

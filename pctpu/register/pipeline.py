@@ -21,7 +21,6 @@ from pctpu.core import se3
 from pctpu.core.cloud import PointCloud
 from pctpu.features.fpfh import fpfh
 from pctpu.features.matching import match_features
-from pctpu.ops.normals import estimate_normals
 from pctpu.ops.voxel import voxel_downsample
 from pctpu.register.icp import ICPConfig, icp_point_to_point
 from pctpu.register.ransac import ransac_registration

@@ -13,7 +13,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pctpu.core import se3
 from pctpu.features.matching import match_features
 from pctpu.ops.knn import nearest
 from pctpu.register.icp import ICPConfig, icp_point_to_point

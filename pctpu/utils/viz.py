@@ -4,7 +4,7 @@ interactive Open3D windows (`clustering.py:44-48`, `ISS.py:78-84`,
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -7,16 +7,25 @@ from setuptools import find_packages, setup
 from setuptools.command.build_py import build_py
 
 
+NATIVE = [
+    ("fastio.cpp", "_fastio.so", []),
+    ("spatial.cpp", "_spatial.so", ["-std=c++17"]),
+]
+
+
 class BuildWithNative(build_py):
     def run(self):
-        src = Path(__file__).parent / "pctpu" / "native" / "fastio.cpp"
-        out = src.parent / "_fastio.so"
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", str(out), str(src),
-                 "-lpthread"], check=True, timeout=120)
-        except Exception:
-            pass  # pure-NumPy fallbacks cover every native entry point
+        native_dir = Path(__file__).parent / "pctpu" / "native"
+        for src_name, out_name, extra in NATIVE:
+            src = native_dir / src_name
+            out = native_dir / out_name
+            try:
+                subprocess.run(
+                    ["g++", "-O3", *extra, "-shared", "-fPIC", "-o",
+                     str(out), str(src), "-lpthread"],
+                    check=True, timeout=180)
+            except Exception:
+                pass  # NumPy/scipy fallbacks cover every native entry point
         super().run()
 
 

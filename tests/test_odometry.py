@@ -64,8 +64,7 @@ def test_odometry_closes_loop(rng):
 
 
 def test_odometry_checkpoint_resume(tmp_path, rng):
-    from pctpu.pipelines.odometry import (load_odometry_state,
-                                          save_odometry_state)
+    from pctpu.pipelines.odometry import save_odometry_state
     world = make_world(rng, n=2000)
     gt = circular_trajectory(8, radius=4.0)
     scans = [render_scan(world, p, rng, max_range=15.0) for p in gt]

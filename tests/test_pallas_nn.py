@@ -63,7 +63,6 @@ def test_nearest_banded_respects_mask(rng):
 def test_icp_moments_banded_matches_unfused(rng):
     """Fused kernel's moment matrix reproduces the explicit association +
     weighted_procrustes pipeline (same window, same threshold)."""
-    import jax
     from pctpu.ops.pallas_banded import (build_banded, icp_moments_banded,
                                          nearest_banded)
     from pctpu.register.procrustes import (procrustes_from_moments,

@@ -2,7 +2,6 @@
 import os
 
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 
@@ -223,3 +222,30 @@ def test_analytics(tmp_path, rng):
     # measurement counts fall with distance
     s = out["distance_stats"]["vehicle"]
     assert s["median_points"][0] > s["median_points"][-1]
+
+
+def test_modelnet_persistent_cache(tmp_path, rng):
+    """First construction writes the on-disk cache; a second construction
+    loads it without touching the CSVs (they are deleted to prove it)."""
+    from pctpu.nn.data import ModelNet40Dataset
+    cats = ["airplane"]
+    (tmp_path / "modelnet40_shape_names.txt").write_text("\n".join(cats))
+    ids = []
+    os.makedirs(tmp_path / "airplane")
+    for i in range(3):
+        sid = f"airplane_{i:04d}"
+        arr = rng.normal(size=(150, 6)).astype(np.float32)
+        np.savetxt(tmp_path / "airplane" / (sid + ".txt"), arr, delimiter=",")
+        ids.append(sid)
+    (tmp_path / "modelnet40_train.txt").write_text("\n".join(ids))
+    ds1 = ModelNet40Dataset(str(tmp_path), num_points=64, train=True, seed=3)
+    x1, y1 = ds1[1]
+    assert (tmp_path / "_pctpu_train_points.npy").exists()
+    assert (tmp_path / "_pctpu_train_meta.npz").exists()
+    # delete the CSVs: the cache alone must serve items
+    for i in range(3):
+        os.remove(tmp_path / "airplane" / f"airplane_{i:04d}.txt")
+    ds2 = ModelNet40Dataset(str(tmp_path), num_points=64, train=True, seed=3)
+    x2, y2 = ds2[1]
+    assert y1 == y2
+    np.testing.assert_array_equal(x1, x2)

@@ -12,7 +12,8 @@ def make_pair(rng, n=1000, angle_deg=10.0, trans=1.0, noise=0.0):
     src = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
     axis = rng.normal(size=3)
     axis /= np.linalg.norm(axis)
-    R = Rotation.from_rotvec(np.radians(angle_deg) * axis).as_matrix().astype(np.float32)
+    R = Rotation.from_rotvec(
+        np.radians(angle_deg) * axis).as_matrix().astype(np.float32)
     t = (rng.normal(size=3) * trans).astype(np.float32)
     dst = src @ R.T + t
     if noise:
@@ -141,7 +142,8 @@ def test_evaluate_rt_files(tmp_path, rng):
     rows_gt, rows_pred = [], []
     for i in range(3):
         _, _, T = make_pair(rng, n=10, angle_deg=20, trans=3.0)
-        t, q = np.asarray(T[:3, 3]), np.asarray(se3.rotmat_to_quat(jnp.asarray(T[:3, :3])))
+        t = np.asarray(T[:3, 3])
+        q = np.asarray(se3.rotmat_to_quat(jnp.asarray(T[:3, :3])))
         rows_gt.append((i, i + 1, t, q))
         if i == 2:
             rows_pred.append((i, i + 1, t + 10.0, q))  # failure
