@@ -28,6 +28,7 @@ from flax import linen as nn
 from pctpu.ops.ball_query import ball_query
 from pctpu.ops.fps import fps
 from pctpu.ops.gather import gather_points, group_points
+from pctpu.ops.pallas_gather import group_points_pallas, table_fits
 from pctpu.ops.interpolate import (interpolation_weights, three_nn)
 from pctpu.ops.morton import morton_codes
 
@@ -162,6 +163,15 @@ class SetAbstraction(nn.Module):
         return None, jnp.max(h, axis=2)
 
     def _ball(self, xyz, features, train, bn_momentum):
+        # VMEM-resident Pallas grouping (gather fwd + deterministic
+        # in-kernel scatter-add bwd) when on TPU and the table fits; XLA
+        # gather elsewhere (CPU tests, oversized tables)
+        def _group(table, idx):
+            if (jax.default_backend() == "tpu"
+                    and table_fits(table.shape)):
+                return group_points_pallas(table, idx)
+            return group_points(table, idx)
+
         centers_idx = jax.vmap(lambda p: fps(p, self.npoint))(xyz)
         new_xyz = gather_points(xyz, centers_idx)
         outs = []
@@ -170,9 +180,9 @@ class SetAbstraction(nn.Module):
             idx, _ = jax.vmap(
                 lambda c, p: ball_query(c, p, radius, nsample)
             )(new_xyz, xyz)
-            grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+            grouped_xyz = _group(xyz, idx) - new_xyz[:, :, None, :]
             if features is not None:
-                grouped_feats = group_points(features, idx)
+                grouped_feats = _group(features, idx)
                 g = (jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
                      if self.use_xyz else grouped_feats)
             else:

@@ -37,6 +37,7 @@ def toy_cfg():
                        batch_size=8, epochs=3, lr=1e-3, decay_step=1e9)
 
 
+@pytest.mark.slow
 def test_fit_learns_toy_task(toy_cfg, tmp_path):
     train = ToyPointDataset(n=32, seed=0)
     val = ToyPointDataset(n=16, seed=1)
@@ -57,6 +58,7 @@ def test_fit_learns_toy_task(toy_cfg, tmp_path):
     assert "disk" in rep["report"]
 
 
+@pytest.mark.slow
 def test_fit_resume(toy_cfg, tmp_path):
     import dataclasses
     cfg1 = dataclasses.replace(toy_cfg, epochs=1)

@@ -132,3 +132,22 @@ def test_icp_fixed_iters_banded_fused_converges(rng):
     Tg[:3, :3] = R
     Tg[:3, 3] = t
     assert np.abs(np.asarray(T) - Tg).max() < 0.05
+
+
+def test_group_points_pallas_fwd_bwd_matches_xla(rng):
+    """Differentiable Pallas grouping (gather fwd + in-kernel scatter-add
+    bwd) reproduces the XLA gather path and its gradient."""
+    from pctpu.ops.pallas_gather import group_points_pallas
+    from pctpu.ops.gather import group_points
+
+    pts = jnp.asarray(rng.normal(size=(2, 300, 16)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 300, (2, 40, 8)).astype(np.int32))
+    a = group_points_pallas(pts, idx, 64, True)
+    b = group_points(pts, idx)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    import jax
+    g1 = jax.grad(lambda p: (group_points_pallas(p, idx, 64, True) ** 2
+                             ).sum())(pts)
+    g2 = jax.grad(lambda p: (group_points(p, idx) ** 2).sum())(pts)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)

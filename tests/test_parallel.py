@@ -36,6 +36,7 @@ def test_make_mesh_shapes():
     assert mesh2.devices.size == len(jax.devices())
 
 
+@pytest.mark.slow
 def test_pair_sweep_8_pairs():
     require_8()
     rng = np.random.default_rng(0)
@@ -58,6 +59,7 @@ def test_pair_sweep_8_pairs():
         assert float(rte) < 0.05 and float(rre) < 0.5
 
 
+@pytest.mark.slow
 def test_point_sharded_icp_matches_single_device():
     require_8()
     rng = np.random.default_rng(1)
@@ -132,6 +134,7 @@ def test_pose_graph_reduces_error():
     assert ate(opt) < 0.3
 
 
+@pytest.mark.slow
 def test_sharded_pose_graph_matches_single():
     require_8()
     rng = np.random.default_rng(3)
@@ -165,6 +168,7 @@ def test_sharded_pose_graph_matches_single():
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_halo_nearest_matches_brute():
     """Both clouds sharded into spatial slabs over 8 devices; halo exchange
     recovers exact nearest neighbors for all but pathological queries."""

@@ -1,5 +1,6 @@
 """End-to-end coarse-to-fine registration on a synthetic LiDAR-like pair —
 the minimum end-to-end slice of SURVEY.md §7 step 5."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,7 @@ def make_structured_scene(rng, n=4000):
     return np.concatenate(pts).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_register_pair_end_to_end(rng):
     src_np = make_structured_scene(rng)
     angle = np.radians(25.0)

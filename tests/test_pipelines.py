@@ -1,4 +1,5 @@
 """Pipeline tests on synthetic KITTI-like frames."""
+import pytest
 import os
 
 import numpy as np
@@ -122,6 +123,7 @@ def test_trainset_generation(tmp_path, rng):
     assert 0 <= y < 4
 
 
+@pytest.mark.slow
 def test_detect_frame_end_to_end(rng):
     """Tiny end-to-end detection: random model, synthetic frame."""
     from pctpu.nn.config import TrainConfig
