@@ -55,20 +55,54 @@ def our_algorithms(n_clusters: int) -> List[Tuple[str, Callable]]:
 
 
 def sklearn_algorithms(n_clusters: int) -> List[Tuple[str, Callable]]:
+    """The reference's full 10-algorithm sklearn panel
+    (`compare_cluster.py:109-143`), with its parameterization: MeanShift's
+    estimated bandwidth (quantile .3), Ward/average-linkage on a symmetrized
+    10-NN connectivity graph, AffinityPropagation damping .9 / preference
+    -200, OPTICS min_samples 20 / xi .05 / min_cluster_size .1."""
     from sklearn import cluster, mixture
+    from sklearn.neighbors import kneighbors_graph
+
+    def _connectivity(X):
+        conn = kneighbors_graph(X, n_neighbors=10, include_self=False)
+        return 0.5 * (conn + conn.T)
+
+    def _meanshift(X):
+        bw = cluster.estimate_bandwidth(X, quantile=0.3)
+        return cluster.MeanShift(bandwidth=bw,
+                                 bin_seeding=True).fit_predict(X)
+
+    def _ward(X):
+        return cluster.AgglomerativeClustering(
+            n_clusters=n_clusters, linkage="ward",
+            connectivity=_connectivity(X)).fit_predict(X)
+
+    def _average(X):
+        return cluster.AgglomerativeClustering(
+            linkage="average", metric="cityblock", n_clusters=n_clusters,
+            connectivity=_connectivity(X)).fit_predict(X)
 
     return [
         ("sk_KMeans", lambda X: cluster.KMeans(
             n_clusters, n_init=3).fit_predict(X)),
+        ("sk_MiniBatchKMeans", lambda X: cluster.MiniBatchKMeans(
+            n_clusters=n_clusters, n_init=3).fit_predict(X)),
         ("sk_GMM", lambda X: mixture.GaussianMixture(
-            n_clusters).fit_predict(X)),
+            n_clusters, covariance_type="full").fit_predict(X)),
         ("sk_Spectral", lambda X: cluster.SpectralClustering(
             n_clusters, affinity="nearest_neighbors",
             n_neighbors=10, assign_labels="kmeans").fit_predict(X)),
         ("sk_DBSCAN", lambda X: cluster.DBSCAN(
             eps=0.3, min_samples=5).fit_predict(X)),
-        ("sk_Agglomerative", lambda X: cluster.AgglomerativeClustering(
-            n_clusters).fit_predict(X)),
+        ("sk_OPTICS", lambda X: cluster.OPTICS(
+            min_samples=20, xi=0.05,
+            min_cluster_size=0.1).fit_predict(X)),
+        ("sk_MeanShift", _meanshift),
+        ("sk_AffinityPropagation", lambda X: cluster.AffinityPropagation(
+            damping=0.9, preference=-200,
+            random_state=0).fit_predict(X)),
+        ("sk_Ward", _ward),
+        ("sk_Agglomerative", _average),
         ("sk_Birch", lambda X: cluster.Birch(
             n_clusters=n_clusters).fit_predict(X)),
     ]
