@@ -28,7 +28,6 @@ from flax import linen as nn
 from pctpu.ops.ball_query import ball_query
 from pctpu.ops.fps import fps
 from pctpu.ops.gather import gather_points, group_points
-from pctpu.ops.pallas_gather import group_points_pallas, table_fits
 from pctpu.ops.interpolate import (interpolation_weights, three_nn)
 from pctpu.ops.morton import morton_codes
 
@@ -163,14 +162,12 @@ class SetAbstraction(nn.Module):
         return None, jnp.max(h, axis=2)
 
     def _ball(self, xyz, features, train, bn_momentum):
-        # VMEM-resident Pallas grouping (gather fwd + deterministic
-        # in-kernel scatter-add bwd) when on TPU and the table fits; XLA
-        # gather elsewhere (CPU tests, oversized tables)
-        def _group(table, idx):
-            if (jax.default_backend() == "tpu"
-                    and table_fits(table.shape)):
-                return group_points_pallas(table, idx)
-            return group_points(table, idx)
+        # XLA gather, measured FASTER than the VMEM Pallas row-copy kernel
+        # for these table shapes (cls-ssg bf16 step: 88 ms XLA vs 122 ms
+        # pallas_gather on v5e) — the sequential per-row loop loses to
+        # XLA's pipelined gather; ops.pallas_gather remains available for
+        # latency-bound small-table cases
+        _group = group_points
 
         centers_idx = jax.vmap(lambda p: fps(p, self.npoint))(xyz)
         new_xyz = gather_points(xyz, centers_idx)
