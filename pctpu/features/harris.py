@@ -27,7 +27,7 @@ class HarrisResult(NamedTuple):
     response: jax.Array
 
 
-@partial(jax.jit, static_argnames=("k_cap", "normal_k"))
+@partial(jax.jit, static_argnames=("k_cap", "normal_k", "measure"))
 def harris3d_keypoints(points: jax.Array,
                        mask: Optional[jax.Array] = None,
                        radius: float = 0.5,
@@ -35,8 +35,14 @@ def harris3d_keypoints(points: jax.Array,
                        k: float = 0.04,
                        k_cap: int = 64,
                        normal_k: int = 16,
-                       normals: Optional[jax.Array] = None) -> HarrisResult:
-    """points [N,3] -> HarrisResult (response + NMS'd keypoint mask)."""
+                       normals: Optional[jax.Array] = None,
+                       measure: str = "noble") -> HarrisResult:
+    """points [N,3] -> HarrisResult (response + NMS'd keypoint mask).
+
+    measure: 'noble' (det/tr, PCL NOBLE, default) or 'harris'
+    (det - k*tr^2, PCL HARRIS — honors `k`). With unit normals the two
+    rank near-identically; thresholds are measure-specific.
+    """
     n = points.shape[0]
     if mask is None:
         mask = jnp.ones((n,), bool)
@@ -51,12 +57,15 @@ def harris3d_keypoints(points: jax.Array,
     C = jnp.einsum("nki,nkj->nij", nbr_n, nbr_n) / cnt[:, None, None]
     det = jnp.linalg.det(C)
     tr = C[:, 0, 0] + C[:, 1, 1] + C[:, 2, 2]
-    # Noble corner measure det/tr: with unit normals tr(C) ~= 1 everywhere,
-    # so PCL's det - k*tr^2 is a constant shift of det; det/tr is the
-    # equivalent-ranking, scale-robust form (k kept for the classic formula:
-    # response = det - k*tr^2 when noble=False upstream if ever needed).
-    del k
-    response = det / jnp.maximum(tr, 1e-12)
+    if measure == "harris":
+        # PCL HarrisKeypoint3D HARRIS method: det - k * tr^2
+        response = det - jnp.float32(k) * tr * tr
+    else:
+        # Noble measure det/tr: with unit normals tr(C) ~= 1 everywhere,
+        # so det - k*tr^2 is then a near-constant shift of det and the two
+        # measures rank identically (tested on real scans); det/tr is the
+        # scale-robust form and the default
+        response = det / jnp.maximum(tr, 1e-12)
     cand = mask & (response > threshold)
     keep = radius_nms(points, response, cand, radius, k_cap=k_cap)
     return HarrisResult(keep, response)

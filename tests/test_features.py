@@ -285,3 +285,22 @@ def test_radius_nms_dense_exact(rng):
     assert not keep[0], "weak center survived dense NMS (truncation bug)"
     # the single global max on the ring must survive
     assert keep[1:][np.argmax(scores[1:])]
+
+
+def test_harris_measure_ranking_equivalence(rng):
+    """PCL's HARRIS measure (det - k*tr^2) and the default NOBLE measure
+    (det/tr) rank the corner responses near-identically with unit normals
+    (VERDICT r1 weak #6): top-decile sets must agree."""
+    pts = make_box_cloud(rng)
+    p = jnp.asarray(pts)
+    noble = features.harris3d_keypoints(p, radius=0.4, k_cap=96,
+                                        measure="noble")
+    harris = features.harris3d_keypoints(p, radius=0.4, k_cap=96, k=0.04,
+                                         measure="harris")
+    rn = np.asarray(noble.response)
+    rh = np.asarray(harris.response)
+    k = max(1, len(rn) // 10)
+    top_n = set(np.argsort(-rn)[:k].tolist())
+    top_h = set(np.argsort(-rh)[:k].tolist())
+    overlap = len(top_n & top_h) / k
+    assert overlap > 0.9, f"measure ranking diverged: overlap {overlap:.2f}"
