@@ -1,5 +1,6 @@
 """Pallas 1-NN kernel logic, validated on CPU via interpret mode
 (SURVEY.md §4: CPU-runnable kernel tests the reference lacks)."""
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -151,3 +152,30 @@ def test_group_points_pallas_fwd_bwd_matches_xla(rng):
                              ).sum())(pts)
     g2 = jax.grad(lambda p: (group_points(p, idx) ** 2).sum())(pts)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_icp_banded_fused_vmaps(rng):
+    """The fused kernel composes with vmap (pair-sweep batching)."""
+    from functools import partial
+    from scipy.spatial.transform import Rotation
+    from pctpu.register.icp import icp_fixed_iters_banded_fused
+
+    B, N = 2, 800
+    srcs = rng.uniform(-20, 20, (B, N, 3)).astype(np.float32)
+    gts, dsts = [], []
+    for i in range(B):
+        R = Rotation.from_rotvec(
+            rng.uniform(-0.05, 0.05, 3)).as_matrix().astype(np.float32)
+        t = rng.uniform(-0.5, 0.5, 3).astype(np.float32)
+        dsts.append(srcs[i] @ R.T + t)
+        M = np.eye(4, dtype=np.float32)
+        M[:3, :3] = R
+        M[:3, 3] = t
+        gts.append(M)
+    m = jnp.ones((B, N), bool)
+    f = partial(icp_fixed_iters_banded_fused, iters=20, dist_thresh=5.0,
+                block=256, window_blocks=2, query_tile=256, interpret=True)
+    out = np.asarray(jax.vmap(lambda s, sm, d, dm: f(s, sm, d, dm))(
+        jnp.asarray(srcs), m, jnp.asarray(np.stack(dsts)), m))
+    for i in range(B):
+        assert np.abs(out[i] - gts[i]).max() < 0.05
