@@ -34,6 +34,40 @@ def time_fn(fn: Callable, *args, warmup: int = 1, reps: int = 5,
     return {"mean_s": dt, "per_sec": 1.0 / dt if dt > 0 else float("inf")}
 
 
+# v5e per-chip peak FLOP/s by matmul dtype (MXU); other generations can be
+# passed explicitly to mfu()
+PEAK_FLOPS = {"float32": 98.5e12, "bfloat16": 197e12, "int8": 394e12}
+
+
+def flops_of(jitted_fn: Callable, *args, **kwargs) -> float:
+    """XLA's own FLOP estimate for a jitted function at these avals
+    (`lower().compile().cost_analysis()['flops']`)."""
+    compiled = jax.jit(jitted_fn).lower(*args, **kwargs).compile()
+    return float(compiled.cost_analysis()["flops"])
+
+
+def mfu(flops: float, seconds: float, dtype: str = "float32",
+        peak: float | None = None) -> float:
+    """Model FLOPs Utilization in [0,1]: achieved FLOP/s over peak.
+
+    The roofline denominator for matmul-dominated programs; for VPU-bound
+    programs (most classical point-cloud ops) report elem-ops/s against the
+    VPU peak instead — see README 'Measured performance'."""
+    if peak is None:
+        peak = PEAK_FLOPS[dtype]
+    return flops / max(seconds, 1e-12) / peak
+
+
+def measure_mfu(jitted_fn: Callable, *args, dtype: str = "float32",
+                warmup: int = 1, reps: int = 5, **kwargs) -> Dict[str, float]:
+    """time_fn + flops_of + mfu in one call."""
+    t = time_fn(jitted_fn, *args, warmup=warmup, reps=reps, **kwargs)
+    fl = flops_of(jitted_fn, *args, **kwargs)
+    t["flops"] = fl
+    t["mfu"] = mfu(fl, t["mean_s"], dtype=dtype)
+    return t
+
+
 @contextlib.contextmanager
 def profiler_trace(logdir: str):
     """jax.profiler trace context — view with TensorBoard's profile plugin

@@ -47,3 +47,19 @@ def test_timer_and_time_fn():
 
     out = time_fn(lambda x: jnp.sum(x), jnp.ones((128,)), warmup=1, reps=2)
     assert out["mean_s"] >= 0
+
+
+def test_measure_mfu_matmul():
+    """MFU helper: XLA's FLOP count for a matmul is ~2MNK and MFU lands in
+    (0, 1] against an explicit peak."""
+    import jax.numpy as jnp
+    from pctpu.utils.profiling import flops_of, measure_mfu, mfu
+
+    a = jnp.ones((256, 128), jnp.float32)
+    b = jnp.ones((128, 64), jnp.float32)
+    f = lambda x, y: x @ y
+    fl = flops_of(f, a, b)
+    assert abs(fl - 2 * 256 * 128 * 64) / (2 * 256 * 128 * 64) < 0.2
+    out = measure_mfu(f, a, b, reps=2)
+    assert out["flops"] == fl and out["mean_s"] > 0
+    assert 0 < mfu(fl, 1.0, peak=1e12) < 1
