@@ -33,6 +33,12 @@ PRESETS = {
 def parse_overrides(argv):
     kv = {}
     for arg in argv:
+        if arg in ("--help", "-h", "help"):
+            print(__doc__)
+            print("Config keys (override with key=value):")
+            for f in dataclasses.fields(C.TrainConfig):
+                print(f"  {f.name} (default {f.default!r})")
+            raise SystemExit(0)
         if "=" not in arg:
             raise SystemExit(f"expected key=value, got {arg!r}")
         k, v = arg.split("=", 1)
