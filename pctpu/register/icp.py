@@ -219,14 +219,16 @@ def icp_fixed_iters_banded(src: jax.Array, src_mask: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("iters", "dist_thresh", "block",
-                                   "window_blocks", "query_tile", "interpret"))
+                                   "window_blocks", "query_tile",
+                                   "interpret", "solver"))
 def icp_fixed_iters_banded_fused(src: jax.Array, src_mask: jax.Array,
                                  dst: jax.Array, dst_mask: jax.Array,
                                  init_T: Optional[jax.Array] = None,
                                  iters: int = 30, dist_thresh: float = 5.0,
                                  block: int = 2048, window_blocks: int = 2,
                                  query_tile: int = 512,
-                                 interpret: bool = False) -> jax.Array:
+                                 interpret: bool = False,
+                                 solver: str = "svd") -> jax.Array:
     """Fully fused banded ICP: each iteration is ONE Pallas kernel that does
     windowed 1-NN association AND the weighted-Procrustes moment reduction
     (`pctpu.ops.pallas_banded.icp_moments_banded`) — no per-point gather, no
@@ -253,7 +255,7 @@ def icp_fixed_iters_banded_fused(src: jax.Array, src_mask: jax.Array,
                                  dist_thresh=dist_thresh, block=block,
                                  window_blocks=window_blocks,
                                  query_tile=query_tile, interpret=interpret)
-        R, t = procrustes_from_moments(m16)
+        R, t = procrustes_from_moments(m16, solver=solver)
         return se3.make_transform(R, t) @ T
 
     return jax.lax.fori_loop(0, iters, body, init_T.astype(jnp.float32))

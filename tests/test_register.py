@@ -167,3 +167,28 @@ def test_icp_fixed_iters_grid(rng):
     rte, rre = se3.pose_diff_rte_rre(T, jnp.asarray(T_gt))
     assert float(rte) < 0.05 and float(rre) < 0.5
 
+
+
+def test_rotation_polar3_matches_svd(rng):
+    """Closed-form polar rotation factor == SVD-with-sign-correction on
+    random well-conditioned and reflection-containing 3x3 matrices, incl.
+    moment-matrix magnitudes (~1e5 entries, where an unnormalized f32
+    eigensolve loses eigenvector accuracy)."""
+    import jax.numpy as jnp
+    from pctpu.register.procrustes import rotation_polar3
+
+    for i in range(50):
+        R = Rotation.random(random_state=i).as_matrix().astype(np.float32)
+        s = np.diag(rng.uniform(0.5, 3.0, 3).astype(np.float32))
+        if i % 3 == 0:
+            s[2, 2] *= -1.0  # reflection case
+        Q = Rotation.random(random_state=500 + i).as_matrix().astype(
+            np.float32)
+        scale = 1e5 if i % 2 else 1.0
+        H = (R @ (Q @ s @ Q.T)) * scale
+        Rp = np.asarray(rotation_polar3(jnp.asarray(H)))
+        U, _, Vt = np.linalg.svd(H.astype(np.float64))
+        d = np.linalg.det(U @ Vt)
+        Rsvd = U @ np.diag([1.0, 1.0, d]) @ Vt
+        assert np.abs(Rp - Rsvd).max() < 1e-3, (i, np.abs(Rp - Rsvd).max())
+        assert abs(np.linalg.det(Rp) - 1.0) < 1e-4
