@@ -49,33 +49,66 @@ def weighted_procrustes(src: jax.Array, dst: jax.Array,
     return R, t
 
 
-def rotation_polar3(H: jax.Array) -> jax.Array:
-    """Nearest rotation to a 3x3 H (the Procrustes R) via closed-form polar
-    decomposition: H = R (H^T H)^{1/2} with the symmetric square root from
-    `pctpu.ops.eigh3` — pure elementwise math, no iterative SVD custom
-    call. The proper-rotation (det +1) correction flips the smallest
-    singular direction, matching SVD-with-sign-correction.
+def _inv_transpose3(X: jax.Array) -> jax.Array:
+    """X^{-T} of a 3x3 via the cofactor matrix (rows are cross products of
+    the other two rows of X) — pure elementwise math, no linear solve."""
+    r0, r1, r2 = X[0], X[1], X[2]
+    c0 = jnp.cross(r1, r2)
+    c1 = jnp.cross(r2, r0)
+    c2 = jnp.cross(r0, r1)
+    det = jnp.sum(r0 * c0)
+    safe = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    return jnp.stack([c0, c1, c2]) / safe
 
-    Requires H to be well-conditioned (ICP moment matrices over thousands
-    of inliers are); `weighted_procrustes` keeps the SVD for the general
-    case.
+
+def rotation_polar3(H: jax.Array, newton_iters: int = 6) -> jax.Array:
+    """Nearest rotation to a 3x3 H (the Procrustes R) via Higham-scaled
+    Newton polar iteration X <- (g X + g^-1 X^-T)/2 — pure elementwise
+    3x3 math (cross products), no iterative-SVD custom call in the loop
+    body, so it fuses into Pallas/XLA epilogues.
+
+    Iterating on H directly (not H^T H) keeps the conditioning of the
+    original singular values; the closed-form eigh3-of-HtH variant this
+    replaces lost ~2e-2 of eigenvector accuracy in f32 when two squared
+    singular values were close under a sign flip.
+
+    When det(H) < 0 the Newton limit is the orthogonal polar factor (a
+    reflection); the proper-rotation correction flips along the smallest
+    singular direction, recovered well-conditioned as the least eigenvector
+    of the SPD matrix S = Up^T H = V diag(s) V^T — matching
+    SVD-with-sign-correction (reference solve: Registration/main.py:131-141).
     """
     from pctpu.ops.eigh3 import eigh3
-    # scale-normalize first: moment matrices reach ~1e5-1e6 entries and
-    # H^T H would hit ~1e11-1e12 where the closed-form f32 eigensolver
-    # loses eigenvector accuracy; R is scale-invariant
-    H = H / jnp.maximum(jnp.linalg.norm(H), 1e-20)
-    HtH = H.T @ H
-    w, V = eigh3(HtH)                     # ascending eigenvalues
-    s = jnp.sqrt(jnp.maximum(w, 1e-20))   # singular values of H
-    # R0 = H V diag(1/s) V^T (orthogonal polar factor, may be a reflection)
-    inv_sqrt = (V * (1.0 / s)[None, :]) @ V.T
-    R0 = H @ inv_sqrt
-    d = jnp.linalg.det(R0)
-    # flip along the smallest-singular-value direction when det < 0
-    v_min = V[:, 0]
+    # scale-normalize: moment matrices reach ~1e5-1e6 entries; R is
+    # scale-invariant and the Newton iteration converges fastest near |X|~1
+    H = H / jnp.maximum(jnp.linalg.norm(H), 1e-30)
+
+    def newton_step(_, X):
+        Xit = _inv_transpose3(X)
+        # Frobenius-norm scaling accelerates early iterations (Higham 1986)
+        g = jnp.sqrt(jnp.sqrt(
+            jnp.sum(Xit * Xit) / jnp.maximum(jnp.sum(X * X), 1e-30)))
+        return 0.5 * (g * X + (1.0 / g) * Xit)
+
+    Up = jax.lax.fori_loop(0, newton_iters, newton_step, H)
+    d = jnp.linalg.det(Up)
+    # S = Up^T H is SPD (= V diag(s) V^T) regardless of sign(det H); its
+    # least eigenvector is the smallest-singular-value direction of H
+    S = Up.T @ H
+    S = 0.5 * (S + S.T)
+    w, V = eigh3(S)
+    # one adjugate inverse-iteration polish: eigh3's cross-product vectors
+    # lose ~30x the conditioning limit when the two least singular values
+    # are close; applying adj(S - lam_min I) projects onto the true least
+    # eigenspace (worst error over the reflection test battery: 2.6e-3 ->
+    # 1.8e-5)
+    B = S - w[0] * jnp.eye(3, dtype=H.dtype)
+    adjB = jnp.stack([jnp.cross(B[1], B[2]), jnp.cross(B[2], B[0]),
+                      jnp.cross(B[0], B[1])], axis=1)
+    v_min = adjB @ V[:, 0]
+    v_min = v_min / jnp.maximum(jnp.linalg.norm(v_min), 1e-30)
     flip = jnp.eye(3, dtype=H.dtype) - 2.0 * jnp.outer(v_min, v_min)
-    return jnp.where(d < 0, R0 @ flip, R0)
+    return jnp.where(d < 0, Up @ flip, Up)
 
 
 def procrustes_from_moments(M: jax.Array, allow_reflection: bool = False,
