@@ -154,9 +154,11 @@ def fit(cfg: TrainConfig, train_ds, val_ds=None,
 
 
 def test_report(model, state, test_ds, batch_size: int,
-                class_names: Optional[Iterable[str]] = None) -> Dict:
+                class_names: Optional[Iterable[str]] = None,
+                heatmap_path: Optional[str] = None) -> Dict:
     """Confusion matrix + sklearn classification report
-    (`Final_Project/pointnet2/train.py:120-168`)."""
+    (`Final_Project/pointnet2/train.py:120-168`); optionally renders the
+    reference's confusion-matrix heatmap PNG (`train.py:142-151`)."""
     res = evaluate(model, state, test_ds, batch_size, collect_logits=True)
     from sklearn.metrics import classification_report, confusion_matrix
     labels, preds = res["labels"], res["preds"]
@@ -164,4 +166,32 @@ def test_report(model, state, test_ds, batch_size: int,
     report = classification_report(
         labels, preds, zero_division=0,
         target_names=list(class_names) if class_names else None)
+    if heatmap_path:
+        _render_confusion_heatmap(cm, class_names, heatmap_path)
     return {"acc": res["acc"], "confusion_matrix": cm, "report": report}
+
+
+def _render_confusion_heatmap(cm, class_names, path: str) -> None:
+    """Annotated heatmap PNG, matching the reference's seaborn artifact."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    names = list(class_names) if class_names else [
+        str(i) for i in range(cm.shape[0])]
+    names = names[:cm.shape[0]]
+    fig, ax = plt.subplots(figsize=(5, 4.2))
+    im = ax.imshow(cm, cmap="Blues")
+    ax.set_xticks(range(cm.shape[1]), names, rotation=45, ha="right")
+    ax.set_yticks(range(cm.shape[0]), names)
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("true")
+    thresh = cm.max() / 2.0 if cm.size else 0
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            ax.text(j, i, str(cm[i, j]), ha="center", va="center",
+                    color="white" if cm[i, j] > thresh else "black")
+    fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)

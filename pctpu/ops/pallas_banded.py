@@ -149,7 +149,7 @@ def nearest_banded(bdb: BandedDB, query: jax.Array,
     # search); only tile CENTERS matter, so sample one query per tile
     offsets = _tile_offsets(bdb, qvals, query_tile, block, window_blocks)
 
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(mp // query_tile,),
@@ -178,7 +178,8 @@ def nearest_banded(bdb: BandedDB, query: jax.Array,
 
 
 def _moments_kernel(off_ref, q_ref, qpen_ref, dbt_ref, pen_ref, out_ref,
-                    *, block: int, window_blocks: int, thresh2: float):
+                    *, block: int, window_blocks: int, thresh2: float,
+                    tiles_per_step: int, query_tile: int):
     """Fused ICP iteration epilogue: banded 1-NN association AND the
     weighted-Procrustes moment reduction in ONE kernel.
 
@@ -190,74 +191,89 @@ def _moments_kernel(off_ref, q_ref, qpen_ref, dbt_ref, pen_ref, out_ref,
     point, w = 1[d2 < thresh2 and valid]) — all 16 sufficient statistics of
     the rigid alignment in one [TQ,4]x[TQ,4] contraction. The TPU grid is
     sequential, so tiles accumulate into the single (4,4) output block.
+
+    `tiles_per_step` query tiles are processed per grid step (statically
+    unrolled, each with its own prefetched window offset) to amortize the
+    fixed per-grid-step latency that bounded the round-2 kernel.
     """
     i = pl.program_id(0)
-    q = q_ref[:]                                   # [TQ,3] transformed src
-    qpen = qpen_ref[:]                             # [TQ,1] 0 valid / BIG
-    tq = q.shape[0]
-    base = off_ref[i]
-    qn = jnp.sum(q * q, axis=1, keepdims=True)     # [TQ,1] |p|^2
+    qall = q_ref[:]                                # [T*TQ,3] transformed src
+    qpen_all = qpen_ref[:]                         # [T*TQ,1] 0 valid / BIG
+    tq = query_tile
+    m44_acc = jnp.zeros((4, 4), jnp.float32)
 
-    def body(j, carry):
-        minv, mxyz1 = carry
-        start = (base + j) * block
-        win4 = dbt_ref[:, pl.ds(start, block)]     # [4,block] coords + ones
-        # shifted distance d2' = -2 p.b + |b|^2 (+ mask penalty); |p|^2 is
-        # per-row constant so the argmin is unchanged — MXU does the heavy
-        # lifting instead of 9 VPU passes of explicit (p-b)^2
-        cross = jax.lax.dot_general(
-            q, win4[0:3, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # [TQ,block]
-        d2 = pen_ref[0:1, pl.ds(start, block)] - 2.0 * cross
-        tmin = jnp.min(d2, axis=1, keepdims=True)
-        # one-hot select of the argmin row(s); ties average out through the
-        # count column of the extract matmul below
-        sel = (d2 <= tmin).astype(jnp.float32)     # [TQ,block]
-        ext = jax.lax.dot_general(
-            sel, win4, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)    # [TQ,4] = [cx,cy,cz,cnt]
-        better = tmin < minv
-        return (jnp.where(better, tmin, minv),
-                jnp.where(better, ext, mxyz1))
+    for t in range(tiles_per_step):
+        q = qall[t * tq:(t + 1) * tq, :]
+        qpen = qpen_all[t * tq:(t + 1) * tq, :]
+        base = off_ref[i * tiles_per_step + t]
+        qn = jnp.sum(q * q, axis=1, keepdims=True)     # [TQ,1] |p|^2
 
-    init = (jnp.full((tq, 1), BIG),
-            jnp.concatenate([jnp.zeros((tq, 3), jnp.float32),
-                             jnp.ones((tq, 1), jnp.float32)], axis=1))
-    minv, mxyz1 = jax.lax.fori_loop(0, window_blocks, body, init)
+        def body(j, carry):
+            minv, mxyz1 = carry
+            start = (base + j) * block
+            win4 = dbt_ref[:, pl.ds(start, block)]  # [4,block] coords + ones
+            # shifted distance d2' = -2 p.b + |b|^2 (+ mask penalty); |p|^2
+            # is per-row constant so the argmin is unchanged — MXU does the
+            # heavy lifting instead of 9 VPU passes of explicit (p-b)^2
+            cross = jax.lax.dot_general(
+                q, win4[0:3, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [TQ,block]
+            d2 = pen_ref[0:1, pl.ds(start, block)] - 2.0 * cross
+            tmin = jnp.min(d2, axis=1, keepdims=True)
+            # one-hot select of the argmin row(s); ties average out through
+            # the count column of the extract matmul below
+            sel = (d2 <= tmin).astype(jnp.float32)     # [TQ,block]
+            ext = jax.lax.dot_general(
+                sel, win4, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [TQ,4] cx,cy,cz,cnt
+            better = tmin < minv
+            return (jnp.where(better, tmin, minv),
+                    jnp.where(better, ext, mxyz1))
 
-    cnt = jnp.maximum(mxyz1[:, 3:4], 1.0)
-    matched = mxyz1[:, 0:3] / cnt                  # tie-averaged coords
-    w = ((minv + qn + qpen) < jnp.float32(thresh2)).astype(jnp.float32)
-    ones = jnp.ones((tq, 1), jnp.float32)
-    hp = jnp.concatenate([q, ones], axis=1) * w                      # [TQ,4]
-    hq = jnp.concatenate([matched, ones], axis=1)                    # [TQ,4]
-    m44 = jax.lax.dot_general(hp, hq, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)    # [4,4]
+        init = (jnp.full((tq, 1), BIG),
+                jnp.concatenate([jnp.zeros((tq, 3), jnp.float32),
+                                 jnp.ones((tq, 1), jnp.float32)], axis=1))
+        minv, mxyz1 = jax.lax.fori_loop(0, window_blocks, body, init)
+
+        cnt = jnp.maximum(mxyz1[:, 3:4], 1.0)
+        matched = mxyz1[:, 0:3] / cnt                  # tie-averaged coords
+        w = ((minv + qn + qpen) < jnp.float32(thresh2)).astype(jnp.float32)
+        ones = jnp.ones((tq, 1), jnp.float32)
+        hp = jnp.concatenate([q, ones], axis=1) * w                  # [TQ,4]
+        hq = jnp.concatenate([matched, ones], axis=1)                # [TQ,4]
+        m44_acc = m44_acc + jax.lax.dot_general(
+            hp, hq, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [4,4]
 
     @pl.when(i == 0)
     def _():
-        out_ref[:] = m44
+        out_ref[:] = m44_acc
 
     @pl.when(i > 0)
     def _():
-        out_ref[:] = out_ref[:] + m44
+        out_ref[:] = out_ref[:] + m44_acc
 
 
 @partial(jax.jit, static_argnames=("block", "window_blocks", "query_tile",
-                                   "dist_thresh", "interpret"))
+                                   "dist_thresh", "interpret",
+                                   "tiles_per_step"))
 def icp_moments_banded(bdb: BandedDB, query: jax.Array,
                        query_mask: jax.Array,
                        dist_thresh: float = 5.0,
                        block: int = 2048, window_blocks: int = 2,
-                       query_tile: int = 512, interpret: bool = False):
+                       query_tile: int = 512, interpret: bool = False,
+                       tiles_per_step: int = 4):
     """One fused ICP-association + moment-reduction pass.
 
     query [M,3] = transformed, SORTED src points; query_mask [M] validity.
     Returns the homogeneous moment matrix M [4,4] = sum w [p;1][q;1]^T
     summed over all tiles (q = matched db point in ORIGINAL coordinates).
+    tiles_per_step batches that many query tiles into each sequential grid
+    step (fewer grid steps -> less fixed per-step latency).
     """
     m = query.shape[0]
-    mp = _round_up(m, query_tile)
+    step_q = query_tile * tiles_per_step
+    mp = _round_up(m, step_q)
     q = jnp.zeros((mp, 3), jnp.float32).at[:m].set(query.astype(jnp.float32))
     qpen = jnp.full((mp, 1), BIG, jnp.float32).at[:m, 0].set(
         jnp.where(query_mask, 0.0, BIG))
@@ -266,14 +282,13 @@ def icp_moments_banded(bdb: BandedDB, query: jax.Array,
         q, jnp.broadcast_to(bdb.axis[None, None], (mp, 1)), axis=1)[:, 0]
     offsets = _tile_offsets(bdb, qvals, query_tile, block, window_blocks)
 
-    mem = pltpu.ANY if interpret else pltpu.VMEM
-    ntiles = mp // query_tile
+    mem = pl.ANY if interpret else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles,),
+        grid=(mp // step_q,),
         in_specs=[
-            pl.BlockSpec((query_tile, 3), lambda i, off: (i, 0)),
-            pl.BlockSpec((query_tile, 1), lambda i, off: (i, 0)),
+            pl.BlockSpec((step_q, 3), lambda i, off: (i, 0)),
+            pl.BlockSpec((step_q, 1), lambda i, off: (i, 0)),
             pl.BlockSpec(memory_space=mem),
             pl.BlockSpec(memory_space=mem),
         ],
@@ -281,7 +296,8 @@ def icp_moments_banded(bdb: BandedDB, query: jax.Array,
     )
     return pl.pallas_call(
         partial(_moments_kernel, block=block, window_blocks=window_blocks,
-                thresh2=float(dist_thresh) ** 2),
+                thresh2=float(dist_thresh) ** 2,
+                tiles_per_step=tiles_per_step, query_tile=query_tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, 4), jnp.float32),
         interpret=interpret,

@@ -62,13 +62,13 @@ def gather_rows_pallas(table: jax.Array, idx: jax.Array,
         in_specs=[
             pl.BlockSpec((1, SUBCHUNKS, rows_per_step),
                          lambda bi, mi: (bi, mi, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.SMEM),
+                         memory_space=pl.ANY if interpret else pltpu.SMEM),
             pl.BlockSpec((1, n, c), lambda bi, mi: (bi, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, rows_per_block, c), lambda bi, mi: (bi, mi, 0),
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, mp, c), table.dtype),
         interpret=interpret,
     )(idx_p, table)
@@ -112,7 +112,7 @@ def scatter_add_rows_pallas(grads: jax.Array, idx: jax.Array, n: int,
         jnp.clip(idx.astype(jnp.int32), 0, n - 1))
     idx_p = idx_p.reshape(b, mp // rows_per_step, rows_per_step)
     g_p = jnp.zeros((b, mp, c), grads.dtype).at[:, :m].set(grads)
-    mem = pltpu.ANY if interpret else pltpu.SMEM
+    mem = pl.ANY if interpret else pltpu.SMEM
     out = pl.pallas_call(
         partial(_scatter_add_kernel, rows=rows_per_step,
                 n_chunks=mp // rows_per_step),
@@ -121,11 +121,11 @@ def scatter_add_rows_pallas(grads: jax.Array, idx: jax.Array, n: int,
             pl.BlockSpec((1, mp // rows_per_step, rows_per_step),
                          lambda bi: (bi, 0, 0), memory_space=mem),
             pl.BlockSpec((1, mp, c), lambda bi: (bi, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, n + 1, c), lambda bi: (bi, 0, 0),
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n + 1, c), grads.dtype),
         interpret=interpret,
     )(idx_p, g_p)

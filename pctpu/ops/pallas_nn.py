@@ -88,17 +88,17 @@ def nearest_pallas(query: jax.Array, db: jax.Array,
         grid=grid,
         in_specs=[
             pl.BlockSpec((query_tile, 3), lambda i: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((3, np_), lambda i: (0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, np_), lambda i: (0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((query_tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((query_tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((mp, 1), jnp.float32),

@@ -7,11 +7,14 @@ custom call in the fused ICP inner loop (VERDICT round-2 task #1).
 Mirrors bench.py workload 1 exactly (16,384-pt KITTI subsample, 45 coarse
 iters, block=2048, window_blocks=2).
 """
+import os
+import sys
 import time
 
 import numpy as np
 
-from bench import load_pair, rte_rre, ICP_ITERS, COARSE_ITERS, DIST_THRESH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import load_pair, rte_rre, COARSE_ITERS, DIST_THRESH  # noqa: E402
 
 
 def main():
