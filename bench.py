@@ -46,6 +46,8 @@ PAIR_BATCH = 16
 PAIR_POINTS = 4096
 PAIR_ITERS = 30
 
+FULL_PAIR_ROT_DEG = 35.0   # outside the ICP basin: needs the RANSAC init
+
 
 def _perturb(pts, rng, rotvec, trans, noise=0.01):
     from scipy.spatial.transform import Rotation
@@ -158,6 +160,43 @@ def bench_pairs():
     return PAIR_BATCH / dt
 
 
+def bench_full_pipeline():
+    """FULL per-pair workload (the reference's actual pipeline,
+    `Registration/main.py:33-84,183-222`): voxel 2.0 m downsample -> normals
+    -> FPFH -> mutual-NN matching -> RANSAC global init -> ICP refine — on a
+    35-degree pair, far outside the ICP convergence basin, gated on the
+    reference bound. Returns (pairs/s, rte, rre)."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+    from pctpu.core.cloud import PointCloud
+    from pctpu.register.pipeline import RegistrationConfig, register_pair
+
+    pts = _load_scan()
+    rng = np.random.default_rng(2)
+    sel = rng.choice(pts.shape[0], N_POINTS, replace=False)
+    src = pts[sel]
+    rotvec = np.array([0.05, -0.03, np.radians(FULL_PAIR_ROT_DEG)])
+    dst, T_gt = _perturb(src, rng, rotvec, [3.0, -2.0, 0.5], noise=0.02)
+    sp, dp = PointCloud.from_numpy(src), PointCloud.from_numpy(dst)
+    cfg = RegistrationConfig()
+
+    def run(k):
+        return register_pair(sp, dp, key=jax.random.PRNGKey(k), cfg=cfg).T
+
+    T = np.asarray(run(0))  # compile + warmup
+    rte, rre = rte_rre(T, T_gt)
+    assert rte < RTE_BOUND and rre < RRE_BOUND, (
+        f"full pipeline fails the reference success bound: RTE={rte:.3f} "
+        f"(<{RTE_BOUND}), RRE={rre:.3f} (<{RRE_BOUND})")
+    reps = 4
+    t0 = time.perf_counter()
+    outs = [run(k + 1) for k in range(reps)]
+    for o in outs:
+        np.asarray(o)
+    dt = (time.perf_counter() - t0) / reps
+    return 1.0 / dt, rte, rre
+
+
 def bench_reference_equivalent(src, dst):
     """One reference-style ICP iteration: cKDTree 1-NN + Procrustes SVD."""
     from scipy.spatial import cKDTree
@@ -195,6 +234,7 @@ def main():
     src, dst, T_gt = load_pair()
     ours_ips, rte, rre = bench_ours(src, dst, T_gt)
     pairs_ps = bench_pairs()
+    full_ps, full_rte, full_rre = bench_full_pipeline()
     base_ips = bench_reference_equivalent(src, dst)
     base_pairs = bench_reference_pairs(src, dst)
     out = {
@@ -209,6 +249,11 @@ def main():
             "registration_pairs_per_sec": round(pairs_ps, 2),
             "pairs_vs_baseline": round(pairs_ps / base_pairs, 2),
             "pairs_gated": True,
+            "full_pipeline_pairs_per_sec": round(full_ps, 2),
+            "full_pipeline_rot_deg": FULL_PAIR_ROT_DEG,
+            "full_pipeline_rte_m": round(full_rte, 4),
+            "full_pipeline_rre_deg": round(full_rre, 4),
+            "full_pipeline_gated": True,
         },
     }
     print(json.dumps(out))

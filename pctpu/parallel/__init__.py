@@ -3,5 +3,7 @@ from pctpu.parallel.mesh import (  # noqa: F401
 from pctpu.parallel.pair_sweep import batched_icp, make_pair_sweep  # noqa: F401
 from pctpu.parallel.point_shard import make_point_sharded_icp  # noqa: F401
 from pctpu.parallel.posegraph import (  # noqa: F401
-    optimize_pose_graph, make_sharded_pose_graph_step, PoseGraphResult)
+    optimize_pose_graph, optimize_pose_graph_sparse,
+    make_sharded_pose_graph_step, make_sharded_pose_graph_step_sparse,
+    PoseGraphResult)
 from pctpu.parallel.halo import make_halo_nearest, partition_by_axis  # noqa: F401

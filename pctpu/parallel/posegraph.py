@@ -38,8 +38,13 @@ def so3_log(R: jax.Array) -> jax.Array:
 
 
 def _edge_residual(eps_i, eps_j, T_i, T_j, T_meas_inv):
-    Ti = se3.make_transform(_so3_exp(eps_i[:3]), eps_i[3:]) @ T_i
-    Tj = se3.make_transform(_so3_exp(eps_j[:3]), eps_j[3:]) @ T_j
+    # RIGHT (body-frame) perturbation T . Exp(eps): the rotation tangent
+    # turns about the pose's own center, so Jacobian entries stay O(1)
+    # regardless of how far the trajectory drifts from the origin. (With
+    # left perturbation the translation rows pick up ||t_i||-sized lever
+    # arms and cond(H) blows up ~1e9 on a 256-pose drifting chain.)
+    Ti = T_i @ se3.make_transform(_so3_exp(eps_i[:3]), eps_i[3:])
+    Tj = T_j @ se3.make_transform(_so3_exp(eps_j[:3]), eps_j[3:])
     T_err = T_meas_inv @ se3.invert_transform(Ti) @ Tj
     return jnp.concatenate([so3_log(T_err[:3, :3]), T_err[:3, 3]])
 
@@ -121,7 +126,7 @@ def optimize_pose_graph(poses: jax.Array, edges_i: jax.Array,
         H = H + damping * jnp.eye(6 * m)
         dx = jnp.linalg.solve(H, b).reshape(m, 6)
         new_poses = jax.vmap(
-            lambda d, T: se3.make_transform(_so3_exp(d[:3]), d[3:]) @ T
+            lambda d, T: T @ se3.make_transform(_so3_exp(d[:3]), d[3:])
         )(dx, poses)
         new_cost = jnp.sum(r * r)
         return new_poses, new_cost
@@ -129,6 +134,178 @@ def optimize_pose_graph(poses: jax.Array, edges_i: jax.Array,
     poses, cost = jax.lax.fori_loop(
         0, iters, body, (poses.astype(jnp.float32), jnp.float32(0.0)))
     return PoseGraphResult(poses, cost, jnp.int32(iters))
+
+
+# -- block-sparse backend (scales past the dense 6Mx6M solve) ---------------
+#
+# The dense path above materializes H [6M,6M] and runs an O((6M)^3) solve —
+# fine for hundreds of keyframes, hopeless beyond. The sparse path keeps H
+# in its natural pose-block structure (diagonal blocks D [M,6,6], one
+# coupling block per edge [E,6,6]) and solves the normal equations with
+# preconditioned conjugate gradient under a block-Jacobi preconditioner
+# (the keyframe-block reduction of BASELINE.json's "Schur-complement over
+# keyframe blocks" backend, realized as its standard iterative form).
+# Cost per GN step: O(E*36) per matvec * cg_iters, memory O(M+E) blocks —
+# vs O(M^2) memory / O(M^3) solve dense. Edges shard across the mesh; each
+# CG matvec psums a [M,6] vector, not a [6M,6M] matrix.
+
+
+def _pose_blocks(m, edges_i, edges_j, r, Ji, Jj, damping):
+    """Block-structured normal equations: D [M,6,6] diagonal blocks,
+    Bij [E,6,6] coupling blocks (H[i,j] = Bij, H[j,i] = Bij^T), b [M,6].
+    Gauge is fixed by ELIMINATION (pose-0 block projected out in the solve),
+    not by a huge prior — a 1e6 prior wrecks the CG conditioning in f32."""
+    JiTJi = jnp.einsum("eab,eac->ebc", Ji, Ji)
+    JjTJj = jnp.einsum("eab,eac->ebc", Jj, Jj)
+    Bij = jnp.einsum("eab,eac->ebc", Ji, Jj)
+    D = jnp.zeros((m, 6, 6), jnp.float32)
+    D = D.at[edges_i].add(JiTJi)
+    D = D.at[edges_j].add(JjTJj)
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+    D = D + damping * eye6[None]
+    b = jnp.zeros((m, 6), jnp.float32)
+    b = b.at[edges_i].add(-jnp.einsum("eab,ea->eb", Ji, r))
+    b = b.at[edges_j].add(-jnp.einsum("eab,ea->eb", Jj, r))
+    return D, Bij, b
+
+
+def _project0(v):
+    """Zero the pose-0 block: restrict to the gauge-fixed subspace."""
+    return v.at[0].set(0.0)
+
+
+def _bs_matvec(D, edges_i, edges_j, Bij, x):
+    """Block-sparse H @ x: x [M,6] -> [M,6]."""
+    y = jnp.einsum("mab,mb->ma", D, x)
+    y = y.at[edges_i].add(jnp.einsum("eab,eb->ea", Bij, x[edges_j]))
+    y = y.at[edges_j].add(jnp.einsum("eba,eb->ea", Bij, x[edges_i]))
+    return y
+
+
+def _pcg(matvec, Minv, b, cg_iters: int, tol: float = 1e-8):
+    """Conjugate gradient with block preconditioner Minv [M,6,6], restricted
+    to the gauge-fixed subspace (pose-0 block pinned to zero)."""
+    def apply_M(v):
+        return _project0(jnp.einsum("mab,mb->ma", Minv, v))
+
+    def apply_A(v):
+        return _project0(matvec(_project0(v)))
+
+    b = _project0(b)
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = apply_M(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    bnorm2 = jnp.maximum(jnp.sum(b * b), 1e-30)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (k < cg_iters) & (jnp.sum(r * r) > tol * bnorm2)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = apply_A(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_M(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, rz0, jnp.int32(0)))
+    return x
+
+
+def _pcg_refined(matvec, Minv, b, cg_iters: int, refine: int = 2):
+    """f32 CG stalls at a roundoff floor on ill-conditioned chains;
+    iterative refinement (re-solve against the TRUE residual) recovers it."""
+    x = _pcg(matvec, Minv, b, cg_iters)
+    for _ in range(refine):
+        r = _project0(b) - _project0(matvec(_project0(x)))
+        x = x + _pcg(matvec, Minv, r, cg_iters)
+    return x
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "refine"))
+def optimize_pose_graph_sparse(poses: jax.Array, edges_i: jax.Array,
+                               edges_j: jax.Array, T_meas: jax.Array,
+                               weights: Optional[jax.Array] = None,
+                               iters: int = 10, cg_iters: int = 100,
+                               damping: float = 1e-6,
+                               refine: int = 2) -> PoseGraphResult:
+    """Block-sparse Gauss-Newton: same problem as `optimize_pose_graph`,
+    O(M+E) memory and O(E*cg_iters) solve — use beyond ~100 poses.
+    Gauge is fixed by eliminating pose 0 (vs the dense path's 1e6 prior —
+    same solution to ~1e-6, far better CG conditioning)."""
+    m = poses.shape[0]
+    if weights is None:
+        weights = jnp.ones(edges_i.shape, jnp.float32)
+    T_meas_inv = jax.vmap(se3.invert_transform)(T_meas)
+
+    def body(_, carry):
+        poses, cost = carry
+        r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv, weights)
+        D, Bij, b = _pose_blocks(m, edges_i, edges_j, r, Ji, Jj, damping)
+        Minv = jnp.linalg.inv(D)
+        dx = _pcg_refined(
+            lambda x: _bs_matvec(D, edges_i, edges_j, Bij, x),
+            Minv, b, cg_iters, refine=refine)
+        new_poses = jax.vmap(
+            lambda d, T: T @ se3.make_transform(_so3_exp(d[:3]), d[3:])
+        )(dx, poses)
+        return new_poses, jnp.sum(r * r)
+
+    poses, cost = jax.lax.fori_loop(
+        0, iters, body, (poses.astype(jnp.float32), jnp.float32(0.0)))
+    return PoseGraphResult(poses, cost, jnp.int32(iters))
+
+
+def make_sharded_pose_graph_step_sparse(mesh, edge_axis: str = "data",
+                                        cg_iters: int = 100):
+    """Edge-sharded block-sparse GN step: each device assembles blocks over
+    its edge shard; the per-CG-iteration psum is a [M,6] vector (vs the
+    dense variant's [6M,6M] matrix psum). Pad the edge list (weight 0) to a
+    multiple of the axis size; padded edges must point at (0, 0)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    axis_size = mesh.shape[edge_axis]
+
+    def step(poses, edges_i, edges_j, T_meas_inv, weights):
+        m = poses.shape[0]
+        r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv, weights)
+        # local blocks over this device's edge shard; D/b are [M,...] partial
+        # sums -> one psum each per GN step (damping scaled so the psum'd
+        # total matches the single-device value)
+        D, Bij, b = _pose_blocks(m, edges_i, edges_j, r, Ji, Jj,
+                                 1e-6 / axis_size)
+        D = jax.lax.psum(D, edge_axis)
+        b = jax.lax.psum(b, edge_axis)
+        Minv = jnp.linalg.inv(D)
+
+        def matvec(x):
+            # D is replicated post-psum: contribute 1/axis_size of it per
+            # device so the psum restores exactly D @ x; coupling blocks are
+            # edge-shard-local
+            y = jnp.einsum("mab,mb->ma", D, x) / axis_size
+            y = y.at[edges_i].add(jnp.einsum("eab,eb->ea", Bij, x[edges_j]))
+            y = y.at[edges_j].add(jnp.einsum("eba,eb->ea", Bij, x[edges_i]))
+            return jax.lax.psum(y, edge_axis)
+
+        dx = _pcg_refined(matvec, Minv, b, cg_iters, refine=2)
+        return jax.vmap(
+            lambda d, T: T @ se3.make_transform(_so3_exp(d[:3]), d[3:])
+        )(dx, poses)
+
+    f = shard_map(step, mesh=mesh,
+                  in_specs=(P(), P(edge_axis), P(edge_axis), P(edge_axis),
+                            P(edge_axis)),
+                  out_specs=P())
+    return jax.jit(f)
 
 
 def make_sharded_pose_graph_step(mesh, edge_axis: str = "data"):
@@ -149,7 +326,7 @@ def make_sharded_pose_graph_step(mesh, edge_axis: str = "data"):
         H = H + 1e-6 * jnp.eye(6 * m)
         dx = jnp.linalg.solve(H, b).reshape(m, 6)
         return jax.vmap(
-            lambda d, T: se3.make_transform(_so3_exp(d[:3]), d[3:]) @ T
+            lambda d, T: T @ se3.make_transform(_so3_exp(d[:3]), d[3:])
         )(dx, poses)
 
     f = shard_map(step, mesh=mesh,

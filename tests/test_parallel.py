@@ -202,3 +202,132 @@ def test_halo_nearest_matches_brute():
     # reported indices consistent with reported distances
     dd = ((src_s - dst_s[idx]) ** 2).sum(-1)
     np.testing.assert_allclose(dd[valid], d2[valid], atol=2e-2)
+
+
+def test_pose_graph_sparse_matches_dense():
+    """Block-sparse PCG backend agrees with the dense 6Mx6M solve."""
+    rng = np.random.default_rng(5)
+    gt, (ei, ej, Tm) = _ring_graph(rng, m=10)
+    init = [np.eye(4, dtype=np.float32)]
+    for k in range(gt.shape[0] - 1):
+        init.append((init[-1] @ Tm[k]).astype(np.float32))
+    init = jnp.asarray(np.stack(init))
+    dense = parallel.optimize_pose_graph(
+        init, jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(Tm), iters=5)
+    sparse = parallel.optimize_pose_graph_sparse(
+        init, jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(Tm), iters=5,
+        cg_iters=200)
+    np.testing.assert_allclose(np.asarray(sparse.poses),
+                               np.asarray(dense.poses), atol=1e-3)
+
+
+@pytest.mark.slow
+def test_pose_graph_sparse_m256():
+    """256-pose graph (the scale the dense solver can't reach) converges."""
+    rng = np.random.default_rng(6)
+    gt, (ei, ej, Tm) = _ring_graph(rng, m=256, noise_rot=0.02, noise_t=0.10)
+    init = [np.eye(4, dtype=np.float32)]
+    for k in range(gt.shape[0] - 1):
+        init.append((init[-1] @ Tm[k]).astype(np.float32))
+    init = np.stack(init)
+
+    res = parallel.optimize_pose_graph_sparse(
+        jnp.asarray(init), jnp.asarray(ei), jnp.asarray(ej),
+        jnp.asarray(Tm), iters=10, cg_iters=200)
+    opt = np.asarray(res.poses)
+
+    def ate(poses):
+        aligned = np.linalg.inv(poses[0])[None] @ poses
+        gt_aligned = np.linalg.inv(gt[0])[None] @ gt
+        return np.linalg.norm(aligned[:, :3, 3] - gt_aligned[:, :3, 3],
+                              axis=1).mean()
+
+    assert ate(opt) < ate(init) * 0.5, (ate(opt), ate(init))
+
+
+@pytest.mark.slow
+def test_sharded_sparse_pose_graph_matches_single():
+    """Edge-sharded block-sparse GN step == single-device step (M=64,
+    strict — CG fully converges there), and at M=256 the sharded step's
+    GN cost matches the single-device step's to 5% (f32 conditioning on a
+    256-pose graph bounds absolute pose agreement; see posegraph.py notes
+    and the README complexity table)."""
+    require_8()
+    from pctpu.parallel import posegraph as pg
+
+    def keyframe_graph(rng, m, closure_every):
+        gt, (ei, ej, Tm) = _ring_graph(rng, m=m, noise_rot=0.02,
+                                       noise_t=0.10)
+        exi, exj, exT = [list(x) for x in (ei, ej, Tm)]
+        for i in range(0, m - closure_every, closure_every):
+            rel = np.linalg.inv(gt[i]) @ gt[i + closure_every]
+            exi.append(i)
+            exj.append(i + closure_every)
+            exT.append(rel.astype(np.float32))
+        return gt, (np.array(exi), np.array(exj),
+                    np.stack(exT).astype(np.float32))
+
+    def pad_edges(ei, ej, Tm):
+        E = len(ei)
+        pad = (-E) % 8
+        return (np.concatenate([ei, np.zeros(pad, ei.dtype)]),
+                np.concatenate([ej, np.zeros(pad, ej.dtype)]),
+                np.concatenate([Tm, np.tile(np.eye(4, dtype=np.float32),
+                                            (pad, 1, 1))]),
+                np.concatenate([np.ones(E, np.float32),
+                                np.zeros(pad, np.float32)]))
+
+    def odom_init(m, Tm):
+        init = [np.eye(4, dtype=np.float32)]
+        for k in range(m - 1):
+            init.append((init[-1] @ Tm[k]).astype(np.float32))
+        return jnp.asarray(np.stack(init))
+
+    def edge_cost(poses, ei, ej, Tm, w):
+        Tm_inv = jax.vmap(se3.invert_transform)(jnp.asarray(Tm))
+        r, _, _ = pg._edge_terms(poses, jnp.asarray(ei), jnp.asarray(ej),
+                                 Tm_inv, jnp.asarray(w))
+        return float(jnp.sum(r * r))
+
+    mesh = parallel.make_mesh((("data", 8),))
+
+    # M=64: strict agreement (sharded == single == dense)
+    rng = np.random.default_rng(7)
+    gt, (ei, ej, Tm) = keyframe_graph(rng, 64, 8)
+    ei_p, ej_p, Tm_p, w_p = pad_edges(ei, ej, Tm)
+    init = odom_init(64, Tm)
+    step = parallel.make_sharded_pose_graph_step_sparse(mesh, cg_iters=400)
+    Tm_inv = jax.vmap(se3.invert_transform)(jnp.asarray(Tm_p))
+    with mesh:
+        out = step(init, jnp.asarray(ei_p), jnp.asarray(ej_p), Tm_inv,
+                   jnp.asarray(w_p))
+    res1 = parallel.optimize_pose_graph_sparse(
+        init, jnp.asarray(ei_p), jnp.asarray(ej_p), jnp.asarray(Tm_p),
+        weights=jnp.asarray(w_p), iters=1, cg_iters=400)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(res1.poses),
+                               atol=2e-3)
+    resd = parallel.optimize_pose_graph(
+        init, jnp.asarray(ei_p), jnp.asarray(ej_p), jnp.asarray(Tm_p),
+        weights=jnp.asarray(w_p), iters=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(resd.poses),
+                               atol=2e-3)
+
+    # M=256: sharded step quality == single step quality (GN cost within
+    # 5%), both strictly below the initial cost
+    rng = np.random.default_rng(8)
+    gt, (ei, ej, Tm) = keyframe_graph(rng, 256, 16)
+    ei_p, ej_p, Tm_p, w_p = pad_edges(ei, ej, Tm)
+    init = odom_init(256, Tm)
+    step = parallel.make_sharded_pose_graph_step_sparse(mesh, cg_iters=800)
+    Tm_inv = jax.vmap(se3.invert_transform)(jnp.asarray(Tm_p))
+    with mesh:
+        out = step(init, jnp.asarray(ei_p), jnp.asarray(ej_p), Tm_inv,
+                   jnp.asarray(w_p))
+    res1 = parallel.optimize_pose_graph_sparse(
+        init, jnp.asarray(ei_p), jnp.asarray(ej_p), jnp.asarray(Tm_p),
+        weights=jnp.asarray(w_p), iters=1, cg_iters=800)
+    c0 = edge_cost(init, ei_p, ej_p, Tm_p, w_p)
+    c_sh = edge_cost(jnp.asarray(out), ei_p, ej_p, Tm_p, w_p)
+    c_1 = edge_cost(res1.poses, ei_p, ej_p, Tm_p, w_p)
+    assert c_sh < 0.5 * c0, (c_sh, c0)
+    assert abs(c_sh - c_1) < 0.05 * c_1, (c_sh, c_1)
