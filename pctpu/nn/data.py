@@ -137,15 +137,43 @@ class ModelNet40Dataset:
         return item, label
 
 
+S3DIS_URL = ("https://shapenet.cs.stanford.edu/media/"
+             "indoor3d_sem_seg_hdf5_data.zip")
+
+
 class S3DISDataset:
     """HDF5 indoor3d_sem_seg files: ply_data_all_N.h5 with (data [B,4096,9],
-    label [B,4096]); Area_5 rooms held out as test."""
+    label [B,4096]); Area_5 rooms held out as test. `download=True`
+    fetches + unpacks the official zip when `root` is missing
+    (`Indoor3DSemSegLoader.py:31-33` parity)."""
+
+    @staticmethod
+    def _download(root: str) -> None:
+        import urllib.request
+        import zipfile
+        os.makedirs(root, exist_ok=True)
+        zip_path = os.path.join(root, "indoor3d_sem_seg_hdf5_data.zip")
+        urllib.request.urlretrieve(S3DIS_URL, zip_path)  # noqa: S310
+        with zipfile.ZipFile(zip_path) as z:
+            # the zip nests everything under indoor3d_sem_seg_hdf5_data/
+            for m in z.namelist():
+                rel = m.split("/", 1)
+                if len(rel) == 2 and rel[1] and not m.endswith("/"):
+                    target = os.path.join(root, rel[1])
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                    with z.open(m) as src, open(target, "wb") as dst:
+                        dst.write(src.read())
+        os.remove(zip_path)
 
     def __init__(self, root: str, num_points: int = 4096, train: bool = True,
-                 test_area: int = 5, seed: int = 0):
+                 test_area: int = 5, seed: int = 0,
+                 download: bool = False):
         import h5py
         self.num_points = num_points
         self.rng = np.random.default_rng(seed)
+        if download and not os.path.exists(
+                os.path.join(root, "all_files.txt")):
+            self._download(root)
         with open(os.path.join(root, "all_files.txt")) as f:
             h5_files = [os.path.join(root, os.path.basename(l.strip()))
                         for l in f if l.strip()]

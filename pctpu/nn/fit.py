@@ -162,10 +162,13 @@ def test_report(model, state, test_ds, batch_size: int,
     res = evaluate(model, state, test_ds, batch_size, collect_logits=True)
     from sklearn.metrics import classification_report, confusion_matrix
     labels, preds = res["labels"], res["preds"]
-    cm = confusion_matrix(labels, preds)
+    names = list(class_names) if class_names else None
+    # explicit label ids keep the matrix/report shape stable even when a
+    # class is absent from a small test split
+    ids = list(range(len(names))) if names else None
+    cm = confusion_matrix(labels, preds, labels=ids)
     report = classification_report(
-        labels, preds, zero_division=0,
-        target_names=list(class_names) if class_names else None)
+        labels, preds, zero_division=0, labels=ids, target_names=names)
     if heatmap_path:
         _render_confusion_heatmap(cm, class_names, heatmap_path)
     return {"acc": res["acc"], "confusion_matrix": cm, "report": report}

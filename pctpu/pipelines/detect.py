@@ -108,15 +108,20 @@ def to_kitti_rows(points: np.ndarray, object_ids: np.ndarray,
             c = X_cam.mean(axis=0)
             centered = X_cam - c
             ry = camera_yaw_pca(centered)
-            R = kitti_frames.ry_rotation(-ry)
+            # de-rotate the heading onto +x: row vectors need R(-ry)^T,
+            # which is ry_rotation(ry)
+            R = kitti_frames.ry_rotation(ry)
             X_obj = centered @ R
             ext = X_obj.max(axis=0) - X_obj.min(axis=0)
+            # KITTI label order h,w,l = (y, z, x) extents in the object
+            # frame (length lies along the heading = x after de-rotation);
+            # location is the BOTTOM-face center (cam y points down)
             f = lambda x: f"{x:.2f}"
             rows.append(" ".join([
                 ktype, "-1", "-1", "-10",
                 f(left), f(top), f(right), f(bottom),
-                f(ext[1]), f(ext[0]), f(ext[2]),      # h, w, l
-                f(c[0]), f(c[1]), f(c[2]), f(ry),
+                f(ext[1]), f(ext[2]), f(ext[0]),      # h, w, l
+                f(c[0]), f(X_cam[:, 1].max()), f(c[2]), f(ry),
                 f(100.0 * conf)]))
     return rows
 
