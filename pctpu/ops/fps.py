@@ -57,8 +57,21 @@ def fps(points: jax.Array, m: int,
 
 def fps_batched(points: jax.Array, m: int,
                 mask: Optional[jax.Array] = None,
-                skip_near_origin: bool = False) -> jax.Array:
-    """[B,N,3] -> [B,m] (vmapped greedy loop; one fused XLA program)."""
+                skip_near_origin: bool = False,
+                backend: str = "auto") -> jax.Array:
+    """[B,N,3] -> [B,m].
+
+    backend: 'auto' picks the single-kernel Pallas loop on TPU (the XLA
+    fori_loop pays ~25 us/step of scheduling overhead — 13 ms vs ~1 ms for
+    B=16, N=4096, m=512 on v5e) and the XLA loop elsewhere; results are
+    bit-identical (`tests/test_pallas_nn.py::test_fps_pallas_matches_xla`).
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from pctpu.ops.pallas_fps import fps_pallas_batched
+        return fps_pallas_batched(points, m, mask=mask,
+                                  skip_near_origin=skip_near_origin)
     f = partial(fps, m=m, skip_near_origin=skip_near_origin)
     if mask is None:
         return jax.vmap(lambda p: f(p))(points)

@@ -179,3 +179,31 @@ def test_icp_banded_fused_vmaps(rng):
         jnp.asarray(srcs), m, jnp.asarray(np.stack(dsts)), m))
     for i in range(B):
         assert np.abs(out[i] - gts[i]).max() < 0.05
+
+
+def test_fps_pallas_matches_xla(rng):
+    """In-kernel greedy FPS == the XLA-loop fps, bit-for-bit (tie-breaking,
+    mask, near-origin skip)."""
+    from pctpu.ops.fps import fps
+    from pctpu.ops.pallas_fps import fps_pallas
+
+    for n, m in ((512, 64), (1024, 256)):
+        pts = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+        mask = jnp.asarray(rng.random(n) > 0.15)
+        a = np.asarray(fps(pts, m, mask=mask))
+        b = np.asarray(fps_pallas(pts, m, mask=mask, interpret=True))
+        np.testing.assert_array_equal(a, b)
+        a = np.asarray(fps(pts, m, skip_near_origin=True))
+        b = np.asarray(fps_pallas(pts, m, skip_near_origin=True,
+                                  interpret=True))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fps_pallas_batched_vmaps(rng):
+    from pctpu.ops.pallas_fps import fps_pallas_batched
+    from pctpu.ops.fps import fps_batched
+
+    pts = jnp.asarray(rng.uniform(-1, 1, (3, 256, 3)).astype(np.float32))
+    a = np.asarray(fps_batched(pts, 32))
+    b = np.asarray(fps_pallas_batched(pts, 32, interpret=True))
+    np.testing.assert_array_equal(a, b)
