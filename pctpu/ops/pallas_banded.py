@@ -143,8 +143,7 @@ def nearest_banded(bdb: BandedDB, query: jax.Array,
     mp = _round_up(m, query_tile)
     q = jnp.zeros((mp, 3), jnp.float32).at[:m].set(query.astype(jnp.float32))
 
-    qvals = jnp.take_along_axis(
-        q, jnp.broadcast_to(bdb.axis[None, None], (mp, 1)), axis=1)[:, 0]
+    qvals = q @ (jnp.arange(3) == bdb.axis).astype(jnp.float32)
     # approximate sorted position via the bucket LUT (no per-query binary
     # search); only tile CENTERS matter, so sample one query per tile
     offsets = _tile_offsets(bdb, qvals, query_tile, block, window_blocks)
@@ -278,8 +277,11 @@ def icp_moments_banded(bdb: BandedDB, query: jax.Array,
     qpen = jnp.full((mp, 1), BIG, jnp.float32).at[:m, 0].set(
         jnp.where(query_mask, 0.0, BIG))
 
-    qvals = jnp.take_along_axis(
-        q, jnp.broadcast_to(bdb.axis[None, None], (mp, 1)), axis=1)[:, 0]
+    # axis-coordinate extraction as a 3-wide matvec: this runs EVERY ICP
+    # iteration, and a take_along_axis gather is disproportionately slow
+    # on TPU vs one fused multiply-add pass
+    axis_onehot = (jnp.arange(3) == bdb.axis).astype(jnp.float32)
+    qvals = q @ axis_onehot
     offsets = _tile_offsets(bdb, qvals, query_tile, block, window_blocks)
 
     mem = pl.ANY if interpret else pltpu.VMEM

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from pctpu.core.cloud import PointCloud, round_up
 from pctpu.ops.voxel import voxel_downsample
 from pctpu.register.icp import icp_fixed_iters
-from pctpu.parallel.posegraph import optimize_pose_graph
+from pctpu.parallel.posegraph import (optimize_pose_graph,
+                                      optimize_pose_graph_sparse)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,10 +122,19 @@ def run_odometry(scans: Sequence[np.ndarray],
                 T_meas.append(T.astype(np.float32))
                 closures.append((a, b))
 
-    res = optimize_pose_graph(
-        jnp.asarray(kf_poses), jnp.asarray(np.array(edges_i, np.int32)),
-        jnp.asarray(np.array(edges_j, np.int32)),
-        jnp.asarray(np.stack(T_meas)), iters=cfg.pose_graph_iters)
+    # dense solve up to ~100 keyframes; block-sparse PCG beyond (O(M+E)
+    # memory vs the dense path's [6M,6M] — see parallel/posegraph.py)
+    if len(kf) <= 100:
+        res = optimize_pose_graph(
+            jnp.asarray(kf_poses), jnp.asarray(np.array(edges_i, np.int32)),
+            jnp.asarray(np.array(edges_j, np.int32)),
+            jnp.asarray(np.stack(T_meas)), iters=cfg.pose_graph_iters)
+    else:
+        res = optimize_pose_graph_sparse(
+            jnp.asarray(kf_poses), jnp.asarray(np.array(edges_i, np.int32)),
+            jnp.asarray(np.array(edges_j, np.int32)),
+            jnp.asarray(np.stack(T_meas)), iters=cfg.pose_graph_iters,
+            cg_iters=max(400, 3 * len(kf)))
     kf_opt = np.asarray(res.poses)
 
     # propagate the keyframe correction to in-between frames

@@ -221,7 +221,7 @@ def icp_fixed_iters_banded(src: jax.Array, src_mask: jax.Array,
 @partial(jax.jit, static_argnames=("iters", "dist_thresh", "block",
                                    "window_blocks", "query_tile",
                                    "interpret", "solver",
-                                   "tiles_per_step"))
+                                   "tiles_per_step", "unroll"))
 def icp_fixed_iters_banded_fused(src: jax.Array, src_mask: jax.Array,
                                  dst: jax.Array, dst_mask: jax.Array,
                                  init_T: Optional[jax.Array] = None,
@@ -230,7 +230,8 @@ def icp_fixed_iters_banded_fused(src: jax.Array, src_mask: jax.Array,
                                  query_tile: int = 512,
                                  interpret: bool = False,
                                  solver: str = "polar",
-                                 tiles_per_step: int = 4) -> jax.Array:
+                                 tiles_per_step: int = 4,
+                                 unroll: int = 1) -> jax.Array:
     """Fully fused banded ICP: each iteration is ONE Pallas kernel that does
     windowed 1-NN association AND the weighted-Procrustes moment reduction
     (`pctpu.ops.pallas_banded.icp_moments_banded`) — no per-point gather, no
@@ -268,7 +269,11 @@ def icp_fixed_iters_banded_fused(src: jax.Array, src_mask: jax.Array,
         R, t = procrustes_from_moments(m16, solver=solver)
         return se3.make_transform(R, t) @ T
 
-    return jax.lax.fori_loop(0, iters, body, init_T.astype(jnp.float32))
+    # unroll lets XLA fuse the ~60 small glue ops (transform, LUT, 3x3
+    # solve) ACROSS iterations — the measured per-iteration cost is op
+    # launch overhead, not compute (tools/probe_glue.py)
+    return jax.lax.fori_loop(0, iters, body, init_T.astype(jnp.float32),
+                             unroll=unroll)
 
 
 def _so3_exp(omega: jax.Array) -> jax.Array:
