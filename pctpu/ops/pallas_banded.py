@@ -304,3 +304,138 @@ def icp_moments_banded(bdb: BandedDB, query: jax.Array,
         out_shape=jax.ShapeDtypeStruct((4, 4), jnp.float32),
         interpret=interpret,
     )(offsets, q, qpen, bdb.dbt4, bdb.pen2)
+
+
+# -- v2: transform + window offsets fused INTO the kernel --------------------
+#
+# probe_glue/probe_unroll showed the fused-ICP per-iteration cost is
+# dominated by the XLA glue ops around the kernel (transform apply, LUT
+# offsets, padding), not by window compute. v2 passes the current pose as
+# 16 SMEM scalars and does the rigid transform + per-tile window-offset
+# lookup inside the kernel; per ICP iteration XLA retains only the 3x3
+# Procrustes solve and the 4x4 compose. The layout flips to [block, TQ]
+# so every reduction is a (cheap) sublane reduction and both matmuls
+# contract without materialized transposes.
+
+
+def _moments_kernel_v2(scal_ref, lut_ref, cent_ref, src_ref, spen_ref,
+                       dbt_ref, pen_ref, out_ref, *, block: int,
+                       window_blocks: int, thresh2: float,
+                       query_tile: int, nb: int):
+    i = pl.program_id(0)
+    r00, r01, r02 = scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2]
+    r10, r11, r12 = scal_ref[0, 3], scal_ref[0, 4], scal_ref[0, 5]
+    r20, r21, r22 = scal_ref[0, 6], scal_ref[0, 7], scal_ref[0, 8]
+    t0, t1, t2 = scal_ref[0, 9], scal_ref[0, 10], scal_ref[0, 11]
+    lo, hi, axf = scal_ref[0, 12], scal_ref[0, 13], scal_ref[0, 14]
+
+    # window offset from the tile's TRANSFORMED center (scalar math)
+    c0 = cent_ref[0, 3 * i]
+    c1 = cent_ref[0, 3 * i + 1]
+    c2 = cent_ref[0, 3 * i + 2]
+    cx = r00 * c0 + r01 * c1 + r02 * c2 + t0
+    cy = r10 * c0 + r11 * c1 + r12 * c2 + t1
+    cz = r20 * c0 + r21 * c1 + r22 * c2 + t2
+    val = jnp.where(axf < 0.5, cx, jnp.where(axf < 1.5, cy, cz))
+    binf = (val - lo) / jnp.maximum(hi - lo, 1e-12) * LUT_BINS
+    bin_ = jnp.clip(binf.astype(jnp.int32), 0, LUT_BINS)
+    base = jnp.clip(lut_ref[0, bin_] // block - window_blocks // 2,
+                    0, nb - window_blocks)
+
+    tq = query_tile
+    q3 = src_ref[:, pl.ds(i * tq, tq)]                 # [3, TQ] source pts
+    xt = r00 * q3[0:1] + r01 * q3[1:2] + r02 * q3[2:3] + t0
+    yt = r10 * q3[0:1] + r11 * q3[1:2] + r12 * q3[2:3] + t1
+    zt = r20 * q3[0:1] + r21 * q3[1:2] + r22 * q3[2:3] + t2
+    qt3 = jnp.concatenate([xt, yt, zt], axis=0)        # [3, TQ] transformed
+    qn = xt * xt + yt * yt + zt * zt                   # [1, TQ]
+    qpen = spen_ref[0:1, pl.ds(i * tq, tq)]            # [1, TQ]
+
+    def body(j, carry):
+        minv, macc = carry                             # [1,TQ], [4,TQ]
+        start = (base + j) * block
+        win4 = dbt_ref[:, pl.ds(start, block)]         # [4, blk]
+        cross = jax.lax.dot_general(
+            win4[0:3, :], qt3, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [blk, TQ]
+        d2 = pen_ref[pl.ds(start, block), 0:1] - 2.0 * cross
+        tmin = jnp.min(d2, axis=0, keepdims=True)      # [1, TQ]
+        sel = (d2 <= tmin).astype(jnp.float32)         # [blk, TQ]
+        ext = jax.lax.dot_general(
+            win4, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [4, TQ] cx cy cz cnt
+        better = tmin < minv
+        return (jnp.where(better, tmin, minv),
+                jnp.where(better, ext, macc))
+
+    init = (jnp.full((1, tq), BIG),
+            jnp.concatenate([jnp.zeros((3, tq), jnp.float32),
+                             jnp.ones((1, tq), jnp.float32)], axis=0))
+    minv, macc = jax.lax.fori_loop(0, window_blocks, body, init)
+
+    cnt = jnp.maximum(macc[3:4, :], 1.0)
+    matched = macc[0:3, :] / cnt                       # tie-averaged coords
+    w = ((minv + qn + qpen) < jnp.float32(thresh2)).astype(jnp.float32)
+    ones = jnp.ones((1, tq), jnp.float32)
+    hp = jnp.concatenate([qt3, ones], axis=0) * w      # [4, TQ]
+    hq = jnp.concatenate([matched, ones], axis=0)      # [4, TQ]
+    m44 = jax.lax.dot_general(hp, hq, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = m44
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[:] = out_ref[:] + m44
+
+
+@partial(jax.jit, static_argnames=("block", "window_blocks", "query_tile",
+                                   "dist_thresh", "interpret"))
+def icp_moments_banded_v2(bdb: BandedDB, pen2t: jax.Array,
+                          src3: jax.Array, spen: jax.Array,
+                          centers: jax.Array, T: jax.Array,
+                          dist_thresh: float = 5.0,
+                          block: int = 2048, window_blocks: int = 2,
+                          query_tile: int = 512,
+                          interpret: bool = False) -> jax.Array:
+    """One fused transform+association+moment pass given pose T [4,4].
+
+    src3 [3, Mp]: SORTED source points (pre-transform, padded);
+    spen [1, Mp]: 0 valid / BIG; centers [1, 3*ntiles]: per-tile center
+    source coords; pen2t [Np, 1] = bdb.pen2 transposed. Returns M [4,4]
+    = sum w [p;1][q;1]^T with p = T*src. All layout prep is once-per-ICP;
+    the per-iteration XLA cost is just packing 16 scalars.
+    """
+    mp = src3.shape[1]
+    nb = bdb.dbt4.shape[1] // block
+    axf = bdb.axis.astype(jnp.float32)
+    scal = jnp.concatenate([
+        T[:3, :3].reshape(9), T[:3, 3], bdb.lo[None], bdb.hi[None],
+        axf[None], jnp.zeros((1,), jnp.float32)]).reshape(1, 16)
+
+    mem = pl.ANY if interpret else pltpu.VMEM
+    smem = pl.ANY if interpret else pltpu.SMEM
+    grid_spec = pl.GridSpec(
+        grid=(mp // query_tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=smem),   # scal
+            pl.BlockSpec(memory_space=smem),   # lut
+            pl.BlockSpec(memory_space=smem),   # centers
+            pl.BlockSpec(memory_space=mem),    # src3
+            pl.BlockSpec(memory_space=mem),    # spen
+            pl.BlockSpec(memory_space=mem),    # dbt4
+            pl.BlockSpec(memory_space=mem),    # pen2t
+        ],
+        out_specs=pl.BlockSpec((4, 4), lambda i: (0, 0)),
+    )
+    return pl.pallas_call(
+        partial(_moments_kernel_v2, block=block,
+                window_blocks=window_blocks,
+                thresh2=float(dist_thresh) ** 2,
+                query_tile=query_tile, nb=nb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, 4), jnp.float32),
+        interpret=interpret,
+    )(scal, bdb.lut[None, :], centers, src3, spen, bdb.dbt4, pen2t)

@@ -276,6 +276,60 @@ def icp_fixed_iters_banded_fused(src: jax.Array, src_mask: jax.Array,
                              unroll=unroll)
 
 
+@partial(jax.jit, static_argnames=("iters", "dist_thresh", "block",
+                                   "window_blocks", "query_tile",
+                                   "interpret", "solver", "unroll"))
+def icp_fixed_iters_banded_fused_v2(src: jax.Array, src_mask: jax.Array,
+                                    dst: jax.Array, dst_mask: jax.Array,
+                                    init_T: Optional[jax.Array] = None,
+                                    iters: int = 30,
+                                    dist_thresh: float = 5.0,
+                                    block: int = 2048,
+                                    window_blocks: int = 2,
+                                    query_tile: int = 512,
+                                    interpret: bool = False,
+                                    solver: str = "polar",
+                                    unroll: int = 1) -> jax.Array:
+    """Fused banded ICP v2: the rigid transform and the window-offset
+    lookup also run INSIDE the Pallas kernel (pose passed as 16 SMEM
+    scalars), so each iteration's XLA work is just the 3x3 Procrustes
+    solve + 4x4 compose. Same association/moment semantics as
+    `icp_fixed_iters_banded_fused` (`ops.pallas_banded` v2 notes).
+    """
+    from pctpu.ops.pallas_banded import build_banded, icp_moments_banded_v2
+    from pctpu.register.procrustes import procrustes_from_moments
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=jnp.float32)
+    bdb = build_banded(dst, dst_mask, block=block)
+    n = src.shape[0]
+    svals = src @ (jnp.arange(3) == bdb.axis).astype(jnp.float32)
+    svals = jnp.where(src_mask, svals, jnp.float32(1e30))
+    sorder = jnp.argsort(svals)
+    src_s = src[sorder].astype(jnp.float32)
+    mask_s = src_mask[sorder]
+
+    mp = ((n + query_tile - 1) // query_tile) * query_tile
+    src3 = jnp.zeros((3, mp), jnp.float32).at[:, :n].set(src_s.T)
+    spen = jnp.full((1, mp), 1e30, jnp.float32).at[0, :n].set(
+        jnp.where(mask_s, 0.0, 1e30))
+    ntiles = mp // query_tile
+    centers = src3[:, query_tile // 2::query_tile]        # [3, ntiles]
+    centers = centers.T.reshape(1, 3 * ntiles)
+    pen2t = bdb.pen2.T                                     # [Np, 1]
+
+    def body(_, T):
+        m16 = icp_moments_banded_v2(bdb, pen2t, src3, spen, centers, T,
+                                    dist_thresh=dist_thresh, block=block,
+                                    window_blocks=window_blocks,
+                                    query_tile=query_tile,
+                                    interpret=interpret)
+        R, t = procrustes_from_moments(m16, solver=solver)
+        return se3.make_transform(R, t) @ T
+
+    return jax.lax.fori_loop(0, iters, body, init_T.astype(jnp.float32),
+                             unroll=unroll)
+
+
 def _so3_exp(omega: jax.Array) -> jax.Array:
     """Rodrigues' formula, [3] -> [3,3] (Taylor-safe near zero)."""
     theta = jnp.linalg.norm(omega)

@@ -207,3 +207,24 @@ def test_fps_pallas_batched_vmaps(rng):
     a = np.asarray(fps_batched(pts, 32))
     b = np.asarray(fps_pallas_batched(pts, 32, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_icp_banded_fused_v2_matches_v1(rng):
+    """The in-kernel-transform variant must agree with the reference fused
+    path (same association + moment semantics, pose via SMEM scalars)."""
+    from pctpu.register.icp import (icp_fixed_iters_banded_fused,
+                                    icp_fixed_iters_banded_fused_v2)
+    n = 2048
+    src = rng.uniform(-15, 15, (n, 3)).astype(np.float32)
+    ang = 0.06
+    c, s = np.cos(ang), np.sin(ang)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    dst = (src @ R.T + np.array([0.3, -0.2, 0.1], np.float32))
+    m = jnp.ones((n,), bool)
+    kw = dict(iters=12, block=512, window_blocks=2, query_tile=256,
+              interpret=True)
+    T1 = np.asarray(icp_fixed_iters_banded_fused(
+        jnp.asarray(src), m, jnp.asarray(dst), m, **kw))
+    T2 = np.asarray(icp_fixed_iters_banded_fused_v2(
+        jnp.asarray(src), m, jnp.asarray(dst), m, **kw))
+    np.testing.assert_allclose(T2, T1, atol=1e-4)
