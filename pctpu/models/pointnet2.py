@@ -173,19 +173,37 @@ class SetAbstraction(nn.Module):
         # -> ~1 ms at SA1 scale), bit-identical XLA fori_loop elsewhere
         centers_idx = fps_batched(xyz, self.npoint)
         new_xyz = gather_points(xyz, centers_idx)
+        on_tpu = jax.default_backend() == "tpu"
+        packed = (xyz if features is None
+                  else jnp.concatenate([xyz, features], axis=-1))
+        cp8 = ((packed.shape[-1] + 7) // 8) * 8
         outs = []
         for i, mlp_spec in enumerate(self.mlps):
             radius, nsample = self.radii[i], self.nsamples[i]
-            idx, _ = jax.vmap(
-                lambda c, p: ball_query(c, p, radius, nsample)
-            )(new_xyz, xyz)
-            grouped_xyz = _group(xyz, idx) - new_xyz[:, :, None, :]
-            if features is not None:
-                grouped_feats = _group(features, idx)
-                g = (jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
-                     if self.use_xyz else grouped_feats)
+            # fused Pallas ball-query+group (no top_k, no HBM gather) when
+            # its per-tile output block fits VMEM comfortably; exact
+            # reference semantics either way
+            fused_ok = (on_tpu and nsample % 8 == 0
+                        and nsample * cp8 * 128 * 4 <= 6 * 2**20)
+            if fused_ok:
+                from pctpu.ops.pallas_ballgroup import (
+                    ball_group_pallas_batched)
+                g = ball_group_pallas_batched(new_xyz, packed,
+                                              radius, nsample)
+                if not self.use_xyz and features is not None:
+                    g = g[..., 3:]
             else:
-                g = grouped_xyz
+                idx, _ = jax.vmap(
+                    lambda c, p: ball_query(c, p, radius, nsample)
+                )(new_xyz, xyz)
+                grouped_xyz = _group(xyz, idx) - new_xyz[:, :, None, :]
+                if features is not None:
+                    grouped_feats = _group(features, idx)
+                    g = (jnp.concatenate([grouped_xyz, grouped_feats],
+                                         axis=-1)
+                         if self.use_xyz else grouped_feats)
+                else:
+                    g = grouped_xyz
             # h: [B, npoint, nsample, C]
             h = SharedMLP(mlp_spec, dtype=self.dtype)(g, train, bn_momentum)
             outs.append(jnp.max(h, axis=2))                 # max over nsample

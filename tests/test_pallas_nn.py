@@ -228,3 +228,58 @@ def test_icp_banded_fused_v2_matches_v1(rng):
     T2 = np.asarray(icp_fixed_iters_banded_fused_v2(
         jnp.asarray(src), m, jnp.asarray(dst), m, **kw))
     np.testing.assert_allclose(T2, T1, atol=1e-4)
+
+
+def test_ball_group_pallas_matches_composition(rng):
+    """Fused ball-query+group == ball_query + group_points + rel-xyz,
+    forward AND gradients (selection constant, like the reference
+    autograd layer)."""
+    from pctpu.ops.ball_query import ball_query
+    from pctpu.ops.pallas_ballgroup import ball_group_pallas
+
+    n, m, K, C = 512, 64, 16, 5
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    feats = rng.normal(size=(n, C)).astype(np.float32)
+    packed = jnp.asarray(np.hstack([pts, feats]).astype(np.float32))
+    centers = jnp.asarray(pts[rng.choice(n, m, replace=False)])
+    r = 0.4
+    idx, _ = ball_query(centers, jnp.asarray(pts), r, K)
+
+    ours = np.asarray(ball_group_pallas(centers, packed, r, K, 32, True,
+                                        True))
+    ref = np.asarray(packed)[np.asarray(idx)]
+    ref[..., :3] -= np.asarray(centers)[:, None, :]
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def ref_fn(c, p):
+        g = jnp.take(p, idx, axis=0)
+        g = g.at[..., :3].add(-c[:, None, :])
+        return jnp.sum(jnp.sin(g))
+
+    def our_fn(c, p):
+        return jnp.sum(jnp.sin(
+            ball_group_pallas(c, p, r, K, 32, True, True)))
+
+    gc1, gp1 = jax.grad(ref_fn, argnums=(0, 1))(centers, packed)
+    gc2, gp2 = jax.grad(our_fn, argnums=(0, 1))(centers, packed)
+    np.testing.assert_allclose(np.asarray(gc2), np.asarray(gc1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp2), np.asarray(gp1), atol=1e-5)
+
+
+def test_ball_group_pallas_vmaps(rng):
+    from pctpu.ops.ball_query import ball_query
+    from pctpu.ops.pallas_ballgroup import ball_group_pallas_batched
+    from pctpu.ops.gather import group_points
+
+    B, n, m, K = 2, 256, 32, 8
+    pts = rng.uniform(-1, 1, (B, n, 3)).astype(np.float32)
+    centers = pts[:, :m]
+    r = 0.5
+    ours = np.asarray(ball_group_pallas_batched(
+        jnp.asarray(centers), jnp.asarray(pts), r, K, tile=32,
+        interpret=True))
+    idx = jax.vmap(lambda c, p: ball_query(c, p, r, K)[0])(
+        jnp.asarray(centers), jnp.asarray(pts))
+    ref = np.asarray(group_points(jnp.asarray(pts), idx)).copy()
+    ref -= centers[:, :, None, :]
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
