@@ -36,8 +36,11 @@ import numpy as np
 REFERENCE_BIN = "/root/reference/Kdtree_Octree/000000.bin"
 N_POINTS = 16384
 ICP_ITERS = 50
-COARSE_ITERS = 45          # fused banded kernel
-POLISH_ITERS = ICP_ITERS - COARSE_ITERS  # exact brute 1-NN
+COARSE_ITERS = 47          # banded-window iterations inside the mega kernel
+POLISH_ITERS = ICP_ITERS - COARSE_ITERS  # exact full-window iterations
+MEGA_BLOCK = 1024
+MEGA_WINDOW_BLOCKS = 1
+MEGA_QUERY_TILE = 1024
 DIST_THRESH = 5.0
 RTE_BOUND = 2.0            # reference success criterion, evaluate_rt.py:16-18
 RRE_BOUND = 5.0
@@ -87,24 +90,43 @@ def rte_rre(T_pred, T_gt):
     return rte, rre
 
 
+def _slope_time(run, k_lo=2, k_hi=22, trials=3):
+    """Steady-state seconds per `run()` via two-point slope timing: K
+    back-to-back dispatches + ONE final host fetch for K in {k_lo, k_hi};
+    (t_hi - t_lo) / (k_hi - k_lo) cancels the fixed dispatch/fetch
+    round-trip. Best of `trials` per point."""
+    ts = {}
+    for k in (k_lo, k_hi):
+        best = 1e9
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(k):
+                out = run()
+            np.asarray(out)
+            best = min(best, time.perf_counter() - t0)
+        ts[k] = best
+    return max((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo), 1e-9)
+
+
 def bench_ours(src, dst, T_gt):
     import jax.numpy as jnp
-    from pctpu.register.icp import icp_fixed_iters, icp_fixed_iters_banded_fused
+    from pctpu.register.icp import icp_fixed_iters_banded_mega
 
     s, d = jnp.asarray(src), jnp.asarray(dst)
     mask = jnp.ones((src.shape[0],), bool)
 
     def run():
-        # hybrid schedule: fused banded kernel (association + moment
-        # reduction in one Pallas call) for the coarse iterations, exact
-        # VMEM-resident brute 1-NN for the final polish
-        T1 = icp_fixed_iters_banded_fused(s, mask, d, mask,
-                                          iters=COARSE_ITERS,
-                                          dist_thresh=DIST_THRESH,
-                                          block=2048, window_blocks=2)
-        return icp_fixed_iters(s, mask, d, mask, init_T=T1,
-                               iters=POLISH_ITERS,
-                               dist_thresh=DIST_THRESH, query_chunk=2048)
+        # whole-loop mega kernel: ALL 50 iterations inside Pallas — banded
+        # window for the coarse phase, the same kernel with the window
+        # spanning the full db (exact brute 1-NN) for the polish; the 3x3
+        # Procrustes solve happens in scalar registers at each iteration's
+        # last tile (pctpu/ops/pallas_icp_mega.py)
+        return icp_fixed_iters_banded_mega(
+            s, mask, d, mask, coarse_iters=COARSE_ITERS,
+            polish_iters=POLISH_ITERS, dist_thresh=DIST_THRESH,
+            block=MEGA_BLOCK, window_blocks=MEGA_WINDOW_BLOCKS,
+            query_tile=MEGA_QUERY_TILE)
 
     T = np.asarray(run())  # compile + warmup (host fetch = true sync; the
     # axon tunnel's block_until_ready does not actually block)
@@ -112,12 +134,11 @@ def bench_ours(src, dst, T_gt):
     assert rte < RTE_BOUND and rre < RRE_BOUND, (
         f"ICP result fails the reference success bound: RTE={rte:.3f} "
         f"(<{RTE_BOUND}), RRE={rre:.3f} (<{RRE_BOUND})")
-    reps = 5
-    t0 = time.perf_counter()
-    outs = [run() for _ in range(reps)]  # dispatched back-to-back
-    for o in outs:
-        np.asarray(o)
-    dt = (time.perf_counter() - t0) / reps
+    # two-point slope timing: time K back-to-back dispatches with one final
+    # sync for K in {lo, hi}; the slope is the steady-state per-solve cost,
+    # the intercept is the fixed host<->device round-trip (which a pipelined
+    # production workload pays once, not per solve)
+    dt = _slope_time(run)
     return ICP_ITERS / dt, rte, rre
 
 
@@ -151,12 +172,7 @@ def bench_pairs():
         rte, rre = rte_rre(Ts[i], gts[i])
         assert rte < RTE_BOUND and rre < RRE_BOUND, (
             f"pair {i} fails the bound: RTE={rte:.3f}, RRE={rre:.3f}")
-    reps = 3
-    t0 = time.perf_counter()
-    outs = [run() for _ in range(reps)]
-    for o in outs:
-        np.asarray(o)
-    dt = (time.perf_counter() - t0) / reps
+    dt = _slope_time(run, k_lo=2, k_hi=12)
     return PAIR_BATCH / dt
 
 
@@ -188,12 +204,13 @@ def bench_full_pipeline():
     assert rte < RTE_BOUND and rre < RRE_BOUND, (
         f"full pipeline fails the reference success bound: RTE={rte:.3f} "
         f"(<{RTE_BOUND}), RRE={rre:.3f} (<{RRE_BOUND})")
-    reps = 4
-    t0 = time.perf_counter()
-    outs = [run(k + 1) for k in range(reps)]
-    for o in outs:
-        np.asarray(o)
-    dt = (time.perf_counter() - t0) / reps
+    ctr = [0]
+
+    def run_next():
+        ctr[0] += 1
+        return run(ctr[0])
+
+    dt = _slope_time(run_next, k_lo=1, k_hi=5, trials=2)
     return 1.0 / dt, rte, rre
 
 

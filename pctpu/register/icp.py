@@ -330,6 +330,67 @@ def icp_fixed_iters_banded_fused_v2(src: jax.Array, src_mask: jax.Array,
                              unroll=unroll)
 
 
+@partial(jax.jit, static_argnames=("coarse_iters", "polish_iters",
+                                   "dist_thresh", "block", "window_blocks",
+                                   "query_tile", "interpret",
+                                   "newton_iters"))
+def icp_fixed_iters_banded_mega(src: jax.Array, src_mask: jax.Array,
+                                dst: jax.Array, dst_mask: jax.Array,
+                                init_T: Optional[jax.Array] = None,
+                                coarse_iters: int = 45,
+                                polish_iters: int = 5,
+                                dist_thresh: float = 5.0,
+                                block: int = 512,
+                                window_blocks: int = 4,
+                                query_tile: int = 256,
+                                interpret: bool = False,
+                                newton_iters: int = 6) -> jax.Array:
+    """Whole-loop fused ICP: ALL iterations inside Pallas
+    (`pctpu.ops.pallas_icp_mega`). Two kernel launches total: `coarse_iters`
+    banded-window iterations, then `polish_iters` EXACT brute-force
+    iterations (the same kernel with the window spanning the entire db) —
+    the hybrid schedule the bench's gated metric uses, with zero
+    per-iteration XLA glue. Association/moment semantics identical to
+    `icp_fixed_iters_banded_fused`; the Procrustes solve is the scalar-core
+    transcription of `procrustes.rotation_polar3`."""
+    from pctpu.ops.pallas_banded import build_banded
+    from pctpu.ops.pallas_icp_mega import icp_mega
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=jnp.float32)
+    bdb = build_banded(dst, dst_mask, block=block)
+    n = src.shape[0]
+    svals = src @ (jnp.arange(3) == bdb.axis).astype(jnp.float32)
+    svals = jnp.where(src_mask, svals, jnp.float32(1e30))
+    sorder = jnp.argsort(svals)
+    src_s = src[sorder].astype(jnp.float32)
+    mask_s = src_mask[sorder]
+
+    mp = ((n + query_tile - 1) // query_tile) * query_tile
+    src3 = jnp.zeros((3, mp), jnp.float32).at[:, :n].set(src_s.T)
+    spen = jnp.full((1, mp), 1e30, jnp.float32).at[0, :n].set(
+        jnp.where(mask_s, 0.0, 1e30))
+    ntiles = mp // query_tile
+    centers = src3[:, query_tile // 2::query_tile]        # [3, ntiles]
+    centers = centers.T.reshape(1, 3 * ntiles)
+    pen2t = bdb.pen2.T                                     # [Np, 1]
+    nb = bdb.dbt4.shape[1] // block
+
+    T = init_T.astype(jnp.float32)
+    if coarse_iters > 0:
+        T = icp_mega(bdb, pen2t, src3, spen, centers, T,
+                     iters=coarse_iters, dist_thresh=dist_thresh,
+                     block=block, window_blocks=window_blocks,
+                     query_tile=query_tile, interpret=interpret,
+                     newton_iters=newton_iters)
+    if polish_iters > 0:
+        T = icp_mega(bdb, pen2t, src3, spen, centers, T,
+                     iters=polish_iters, dist_thresh=dist_thresh,
+                     block=block, window_blocks=nb,
+                     query_tile=query_tile, interpret=interpret,
+                     newton_iters=newton_iters)
+    return T
+
+
 def _so3_exp(omega: jax.Array) -> jax.Array:
     """Rodrigues' formula, [3] -> [3,3] (Taylor-safe near zero)."""
     theta = jnp.linalg.norm(omega)

@@ -283,3 +283,119 @@ def test_ball_group_pallas_vmaps(rng):
     ref = np.asarray(group_points(jnp.asarray(pts), idx)).copy()
     ref -= centers[:, :, None, :]
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_icp_mega_scalar_procrustes_matches_svd(rng):
+    """The mega kernel's scalar-register Procrustes epilogue
+    (`pallas_icp_mega._s_procrustes_from_moments`) == the array-path
+    `procrustes_from_moments` == an f64 SVD oracle, on random weighted
+    correspondence moment matrices (incl. reflection-prone near-planar
+    sets). The scalar functions are plain jnp-scalar tuples, so they run
+    outside Pallas unchanged."""
+    from scipy.spatial.transform import Rotation
+    from pctpu.ops.pallas_icp_mega import _s_procrustes_from_moments
+    from pctpu.register.procrustes import procrustes_from_moments
+
+    for i in range(20):
+        n = 64
+        p = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+        if i % 4 == 0:
+            p[:, 2] *= 1e-3  # near-planar: reflection-prone H
+        Rg = Rotation.random(random_state=i).as_matrix().astype(np.float32)
+        q = p @ Rg.T + rng.uniform(-1, 1, 3).astype(np.float32)
+        w = (rng.random(n) > 0.2).astype(np.float32)
+        hp = np.concatenate([p, np.ones((n, 1), np.float32)], 1) * w[:, None]
+        hq = np.concatenate([q, np.ones((n, 1), np.float32)], 1)
+        M = (hp.T @ hq).astype(np.float32)
+
+        m = tuple(tuple(jnp.float32(M[a, b]) for b in range(4))
+                  for a in range(4))
+        Rs, ts = _s_procrustes_from_moments(m)
+        R1 = np.array([[float(Rs[a][b]) for b in range(3)]
+                       for a in range(3)])
+        t1 = np.array([float(ts[a]) for a in range(3)])
+
+        R2, t2 = procrustes_from_moments(jnp.asarray(M), solver="polar")
+        np.testing.assert_allclose(R1, np.asarray(R2), atol=1e-5)
+        np.testing.assert_allclose(t1, np.asarray(t2), atol=1e-4)
+        # oracle: weighted Kabsch via f64 SVD
+        sw = w.sum()
+        pc = (p * w[:, None]).sum(0) / sw
+        qc = (q * w[:, None]).sum(0) / sw
+        H = ((q - qc) * w[:, None]).T @ (p - pc)
+        U, _, Vt = np.linalg.svd(H.astype(np.float64))
+        d = np.linalg.det(U @ Vt)
+        Ro = U @ np.diag([1.0, 1.0, d]) @ Vt
+        assert np.abs(R1 - Ro).max() < 1e-3, (i, np.abs(R1 - Ro).max())
+
+
+def test_icp_mega_recovers_transform(rng):
+    """Whole-loop mega kernel (interpret mode): recovers a known rigid
+    transform on a banded window schedule + exact polish, matching the
+    hybrid the bench runs (`register.icp.icp_fixed_iters_banded_mega`)."""
+    from pctpu.register.icp import icp_fixed_iters_banded_mega
+
+    n = 2048
+    src = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    ang = 0.05
+    c, s = np.cos(ang), np.sin(ang)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    t = np.array([0.4, -0.2, 0.1], np.float32)
+    dst = src @ R.T + t
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R
+    T_gt[:3, 3] = t
+    m = jnp.ones((n,), bool)
+    T = np.asarray(icp_fixed_iters_banded_mega(
+        jnp.asarray(src), m, jnp.asarray(dst), m, coarse_iters=10,
+        polish_iters=3, dist_thresh=5.0, block=256, window_blocks=2,
+        query_tile=256, interpret=True))
+    assert np.abs(T - T_gt).max() < 1e-3
+
+
+def test_icp_mega_exact_window_matches_plain_icp(rng):
+    """Mega kernel with the window spanning the whole db (exact brute
+    association) == the XLA `icp_fixed_iters` on the same schedule —
+    same associations, solves agree to f32 tolerance."""
+    from pctpu.register.icp import icp_fixed_iters, icp_fixed_iters_banded_mega
+
+    n = 1024
+    src = rng.uniform(-15, 15, (n, 3)).astype(np.float32)
+    ang = 0.04
+    c, s = np.cos(ang), np.sin(ang)
+    R = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+    dst = src @ R.T + np.array([0.2, 0.1, -0.3], np.float32)
+    m = jnp.ones((n,), bool)
+    T1 = np.asarray(icp_fixed_iters(
+        jnp.asarray(src), m, jnp.asarray(dst), m, iters=8,
+        dist_thresh=5.0, query_chunk=512))
+    T2 = np.asarray(icp_fixed_iters_banded_mega(
+        jnp.asarray(src), m, jnp.asarray(dst), m, coarse_iters=0,
+        polish_iters=8, dist_thresh=5.0, block=256, window_blocks=4,
+        query_tile=256, interpret=True))
+    np.testing.assert_allclose(T2, T1, atol=5e-4)
+
+
+def test_icp_mega_masked_pad(rng):
+    """Padded/masked source and db points never contaminate the solve."""
+    from pctpu.register.icp import icp_fixed_iters_banded_mega
+
+    n = 768
+    src = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    ang = 0.03
+    c, s = np.cos(ang), np.sin(ang)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    t = np.array([0.1, 0.3, -0.2], np.float32)
+    dst = src @ R.T + t
+    # poison the masked-out tail with garbage
+    src_m = np.concatenate([src, np.full((256, 3), 1e3, np.float32)])
+    dst_m = np.concatenate([dst, np.full((256, 3), -1e3, np.float32)])
+    mask = jnp.asarray(np.arange(n + 256) < n)
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R
+    T_gt[:3, 3] = t
+    T = np.asarray(icp_fixed_iters_banded_mega(
+        jnp.asarray(src_m), mask, jnp.asarray(dst_m), mask,
+        coarse_iters=8, polish_iters=2, dist_thresh=5.0, block=256,
+        window_blocks=2, query_tile=256, interpret=True))
+    assert np.abs(T - T_gt).max() < 1e-3
