@@ -145,7 +145,7 @@ def bench_ours(src, dst, T_gt):
 def bench_pairs():
     """Batched independent registration pairs (gated) -> pairs/sec."""
     import jax.numpy as jnp
-    from pctpu.parallel.pair_sweep import batched_icp
+    from pctpu.parallel.pair_sweep import batched_icp_mega
 
     pts = _load_scan()
     rng = np.random.default_rng(1)
@@ -164,8 +164,12 @@ def bench_pairs():
     m = jnp.ones((PAIR_BATCH, PAIR_POINTS), bool)
 
     def run():
-        return batched_icp(s, m, d, m, iters=PAIR_ITERS,
-                           dist_thresh=DIST_THRESH, query_chunk=2048)
+        # vmapped whole-loop mega kernel: every pair's full 30-iteration
+        # schedule (28 banded + 2 exact polish) inside Pallas; the sweep
+        # is two kernel launches regardless of batch size
+        return batched_icp_mega(s, m, d, m, coarse_iters=PAIR_ITERS - 2,
+                                polish_iters=2, dist_thresh=DIST_THRESH,
+                                block=512, window_blocks=1, query_tile=512)
 
     Ts = np.asarray(run())
     for i in range(PAIR_BATCH):

@@ -1,6 +1,7 @@
 from pctpu.parallel.mesh import (  # noqa: F401
     make_mesh, multihost_init, shard_batch, replicated)
-from pctpu.parallel.pair_sweep import batched_icp, make_pair_sweep  # noqa: F401
+from pctpu.parallel.pair_sweep import (batched_icp, batched_icp_mega,  # noqa: F401
+                                       make_pair_sweep)
 from pctpu.parallel.point_shard import make_point_sharded_icp  # noqa: F401
 from pctpu.parallel.posegraph import (  # noqa: F401
     optimize_pose_graph, optimize_pose_graph_sparse,

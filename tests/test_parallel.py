@@ -331,3 +331,28 @@ def test_sharded_sparse_pose_graph_matches_single():
     c_1 = edge_cost(res1.poses, ei_p, ej_p, Tm_p, w_p)
     assert c_sh < 0.5 * c0, (c_sh, c0)
     assert abs(c_sh - c_1) < 0.05 * c_1, (c_sh, c_1)
+
+
+def test_batched_icp_mega_interpret():
+    """The vmapped whole-loop mega sweep recovers every pair's transform
+    (interpret mode, CPU) — the bench's pairs/s path."""
+    from pctpu.parallel.pair_sweep import batched_icp_mega
+
+    rng = np.random.default_rng(3)
+    srcs, dsts, gts = [], [], []
+    for i in range(3):
+        s, d, T = make_pair(rng, n=512, angle=4)
+        srcs.append(s)
+        dsts.append(d)
+        gts.append(T)
+    src = jnp.asarray(np.stack(srcs))
+    dst = jnp.asarray(np.stack(dsts))
+    mask = jnp.ones((3, 512), bool)
+    Ts = np.asarray(batched_icp_mega(
+        src, mask, dst, mask, coarse_iters=12, polish_iters=3,
+        dist_thresh=5.0, block=128, window_blocks=2, query_tile=128,
+        interpret=True))
+    for b in range(3):
+        rte, rre = se3.pose_diff_rte_rre(
+            jnp.asarray(Ts[b]), jnp.asarray(gts[b]))
+        assert float(rte) < 0.05 and float(rre) < 0.5
