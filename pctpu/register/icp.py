@@ -302,7 +302,12 @@ def icp_fixed_iters_banded_fused_v2(src: jax.Array, src_mask: jax.Array,
         init_T = jnp.eye(4, dtype=jnp.float32)
     bdb = build_banded(dst, dst_mask, block=block)
     n = src.shape[0]
-    svals = src @ (jnp.arange(3) == bdb.axis).astype(jnp.float32)
+    # order source tiles by the INIT-TRANSFORMED band-axis coordinate: a
+    # rotated init (e.g. a RANSAC global pose) reshuffles which source
+    # points land in which db band; the kernel re-transforms by the
+    # CURRENT pose every iteration, only this ordering is fixed
+    st = src @ init_T[:3, :3].T + init_T[:3, 3]
+    svals = st @ (jnp.arange(3) == bdb.axis).astype(jnp.float32)
     svals = jnp.where(src_mask, svals, jnp.float32(1e30))
     sorder = jnp.argsort(svals)
     src_s = src[sorder].astype(jnp.float32)
@@ -359,7 +364,10 @@ def icp_fixed_iters_banded_mega(src: jax.Array, src_mask: jax.Array,
         init_T = jnp.eye(4, dtype=jnp.float32)
     bdb = build_banded(dst, dst_mask, block=block)
     n = src.shape[0]
-    svals = src @ (jnp.arange(3) == bdb.axis).astype(jnp.float32)
+    # order source tiles by the INIT-TRANSFORMED band-axis coordinate
+    # (see icp_fixed_iters_banded_fused_v2 — same reasoning)
+    st = src @ init_T[:3, :3].T + init_T[:3, 3]
+    svals = st @ (jnp.arange(3) == bdb.axis).astype(jnp.float32)
     svals = jnp.where(src_mask, svals, jnp.float32(1e30))
     sorder = jnp.argsort(svals)
     src_s = src[sorder].astype(jnp.float32)

@@ -38,6 +38,20 @@ class RegistrationConfig:
     icp_dist_thresh: float = 5.0
     icp_max_iters: int = 100
     icp_query_chunk: int = 2048
+    # static capacity for the downsampled feature cloud: voxel_downsample
+    # compacts valid voxels to the front, so slicing to a tight capacity
+    # removes dead padding from every downstream stage (a 16k KITTI scan
+    # at 2.0 m leaves ~1k voxels — the full-capacity FPFH was 16x dead
+    # work). Voxels beyond the cap are DROPPED; raise it for denser
+    # clouds (telemetry: RegistrationOutput.num_matches, and
+    # `ops.voxel` keeps the full-capacity mask if you need the count).
+    downsample_capacity: int = 2048
+    # 'mega' = whole-loop Pallas fixed-iteration kernel (TPU; ~5 ms for
+    # 50 iterations on a 16k pair), 'while' = XLA while-loop with
+    # convergence test (any backend), 'auto' = mega on TPU else while
+    icp_backend: str = "auto"
+    icp_fixed_coarse: int = 47      # mega schedule: banded-window iters
+    icp_fixed_polish: int = 3       # + exact full-window polish iters
 
 
 class RegistrationOutput(NamedTuple):
@@ -60,6 +74,8 @@ def register_pair(src: PointCloud, dst: PointCloud,
 
     def preprocess(pc: PointCloud):
         down = voxel_downsample(pc.points, pc.mask, cfg.voxel_size)
+        cap = min(cfg.downsample_capacity, down.points.shape[0])
+        down = PointCloud(points=down.points[:cap], mask=down.mask[:cap])
         feats = fpfh(down.points, mask=down.mask,
                      radius=cfg.feature_radius, k_cap=cfg.feature_k_cap,
                      normal_k=cfg.normal_k)
@@ -77,12 +93,36 @@ def register_pair(src: PointCloud, dst: PointCloud,
         dist_thresh=cfg.ransac_dist,
         num_hypotheses=cfg.ransac_hypotheses)
 
-    icp_cfg = ICPConfig(max_iters=cfg.icp_max_iters,
-                        dist_thresh=cfg.icp_dist_thresh,
-                        query_chunk=cfg.icp_query_chunk)
-    icp = icp_point_to_point(src.points, src.mask, dst.points, dst.mask,
-                             init_T=rr.T, cfg=icp_cfg)
-    return RegistrationOutput(icp.T, rr.T, rr.fitness, icp.iters, icp.rmse,
+    backend = cfg.icp_backend
+    if backend == "auto":
+        backend = "mega" if jax.default_backend() == "tpu" else "while"
+    if backend == "mega":
+        from pctpu.ops.knn import nearest
+        from pctpu.register.icp import icp_fixed_iters_banded_mega
+        T = icp_fixed_iters_banded_mega(
+            src.points, src.mask, dst.points, dst.mask, init_T=rr.T,
+            coarse_iters=cfg.icp_fixed_coarse,
+            polish_iters=cfg.icp_fixed_polish,
+            dist_thresh=cfg.icp_dist_thresh, block=1024,
+            window_blocks=1, query_tile=1024)
+        # one exact association pass for the reference-parity statistics
+        # (inlier count + RMSE at the final pose)
+        d2, _ = nearest(se3.apply_transform(T, src.points), dst.points,
+                        dst.mask, cfg.icp_query_chunk)
+        inl = (d2 <= jnp.float32(cfg.icp_dist_thresh) ** 2) & src.mask
+        num = jnp.sum(inl).astype(jnp.int32)
+        rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d2, 0.0))
+                        / jnp.maximum(num.astype(jnp.float32), 1.0))
+        icp_T, icp_iters, icp_rmse = T, jnp.int32(
+            cfg.icp_fixed_coarse + cfg.icp_fixed_polish), rmse
+    else:
+        icp_cfg = ICPConfig(max_iters=cfg.icp_max_iters,
+                            dist_thresh=cfg.icp_dist_thresh,
+                            query_chunk=cfg.icp_query_chunk)
+        icp = icp_point_to_point(src.points, src.mask, dst.points, dst.mask,
+                                 init_T=rr.T, cfg=icp_cfg)
+        icp_T, icp_iters, icp_rmse = icp.T, icp.iters, icp.rmse
+    return RegistrationOutput(icp_T, rr.T, rr.fitness, icp_iters, icp_rmse,
                               jnp.sum(matches.valid).astype(jnp.int32))
 
 

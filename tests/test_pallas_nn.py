@@ -399,3 +399,36 @@ def test_icp_mega_masked_pad(rng):
         coarse_iters=8, polish_iters=2, dist_thresh=5.0, block=256,
         window_blocks=2, query_tile=256, interpret=True))
     assert np.abs(T - T_gt).max() < 1e-3
+
+
+def test_icp_mega_rotated_init(rng):
+    """Regression: with a large-rotation init (the RANSAC global-pose
+    use in `register.pipeline`), source tiles must be ordered by the
+    INIT-TRANSFORMED band-axis coordinate — the pre-transform ordering
+    left tiles non-contiguous along the db axis and the banded window
+    diverged (observed RTE 6.4 m from a 0.7 m-accurate init)."""
+    from scipy.spatial.transform import Rotation
+    from pctpu.register.icp import icp_fixed_iters_banded_mega
+
+    n = 2048
+    src = rng.uniform(-20, 20, (n, 3)).astype(np.float32)
+    R = Rotation.from_euler("xyz", [5, -3, 35], degrees=True
+                            ).as_matrix().astype(np.float32)
+    t = np.array([3.0, -2.0, 0.5], np.float32)
+    dst = src @ R.T + t
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R
+    T_gt[:3, 3] = t
+    # imperfect init: the true pose composed with a small extra wiggle
+    dR = Rotation.from_rotvec([0.02, -0.015, 0.03]).as_matrix().astype(
+        np.float32)
+    init = np.eye(4, dtype=np.float32)
+    init[:3, :3] = dR @ R
+    init[:3, 3] = t + np.array([0.4, -0.3, 0.2], np.float32)
+    m = jnp.ones((n,), bool)
+    T = np.asarray(icp_fixed_iters_banded_mega(
+        jnp.asarray(src), m, jnp.asarray(dst), m,
+        init_T=jnp.asarray(init), coarse_iters=12, polish_iters=3,
+        dist_thresh=5.0, block=256, window_blocks=1, query_tile=256,
+        interpret=True))
+    assert np.abs(T - T_gt).max() < 1e-3
