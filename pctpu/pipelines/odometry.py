@@ -13,9 +13,11 @@ so the whole sequence reuses two compiled executables (odometry + closure).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pctpu.core.cloud import PointCloud, round_up
@@ -35,6 +37,11 @@ class OdometryConfig:
     closure_min_gap: int = 3          # in keyframes
     pose_graph_iters: int = 10
     query_chunk: int = 2048
+    # 'scan'  = whole front end in one jitted lax.scan (one host
+    #           round-trip per sequence; no mid-sequence checkpointing)
+    # 'host'  = python loop, one jitted ICP per frame (restartable)
+    # 'auto'  = scan unless checkpoint_path is given
+    frontend: str = "auto"
 
 
 def _prep(scan: np.ndarray, capacity: int, leaf: float) -> PointCloud:
@@ -58,6 +65,41 @@ def load_odometry_state(path: str):
             [d for d in z["deltas"].astype(np.float32)])
 
 
+@partial(jax.jit, static_argnames=("iters", "dist_thresh", "query_chunk"))
+def odometry_deltas_scan(points: jax.Array, masks: jax.Array,
+                         iters: int = 25, dist_thresh: float = 2.0,
+                         query_chunk: int = 2048) -> jax.Array:
+    """Device-resident odometry front end: the WHOLE scan-to-scan chain as
+    one jitted program. points [F,N,3] / masks [F,N] (downsampled, fixed
+    capacity) -> deltas [F,4,4] with deltas[0]=I and deltas[k] = prev_T_cur
+    for frame k. A `lax.scan` carries the previous cloud and the
+    constant-velocity prior across frames — zero host round-trips inside
+    the sequence (the host loop in `run_odometry` pays one tunnel
+    round-trip per frame; this pays one per sequence)."""
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    def body(carry, x):
+        prev_pts, prev_mask, prior = carry
+        cur_pts, cur_mask = x
+        T = icp_fixed_iters(cur_pts, cur_mask, prev_pts, prev_mask,
+                            init_T=prior, iters=iters,
+                            dist_thresh=dist_thresh,
+                            query_chunk=query_chunk)
+        return (cur_pts, cur_mask, T), T
+
+    _, deltas = jax.lax.scan(body, (points[0], masks[0], eye),
+                             (points[1:], masks[1:]))
+    return jnp.concatenate([eye[None], deltas], axis=0)
+
+
+@jax.jit
+def compose_deltas(deltas: jax.Array) -> jax.Array:
+    """deltas [F,4,4] (delta[k] = pose[k-1]^-1 pose[k]) -> world poses
+    [F,4,4] via parallel prefix: an associative scan over 4x4 composes in
+    O(log F) depth instead of a sequential F-step chain."""
+    return jax.lax.associative_scan(jnp.matmul, deltas)
+
+
 def run_odometry(scans: Sequence[np.ndarray],
                  cfg: OdometryConfig = OdometryConfig(),
                  checkpoint_path: Optional[str] = None,
@@ -70,27 +112,38 @@ def run_odometry(scans: Sequence[np.ndarray],
     clouds = [_prep(s, capacity, cfg.voxel_leaf) for s in scans]
 
     n = len(scans)
-    poses = [np.eye(4, dtype=np.float32)]
-    deltas = [np.eye(4, dtype=np.float32)]
-    start = 1
-    if checkpoint_path:
-        restored = load_odometry_state(checkpoint_path)
-        if restored:
-            start, poses, deltas = restored
-            start += 1
-    for i in range(start, n):
-        prev, cur = clouds[i - 1], clouds[i]
-        init = jnp.asarray(deltas[-1])        # constant-velocity prior
-        # T maps cur (src) into prev (dst) frame
-        T = np.asarray(icp_fixed_iters(
-            cur.points, cur.mask, prev.points, prev.mask, init_T=init,
-            iters=cfg.icp_iters, dist_thresh=cfg.icp_dist_thresh,
-            query_chunk=cfg.query_chunk))
-        deltas.append(T.astype(np.float32))
-        poses.append((poses[-1] @ T).astype(np.float32))
-        if checkpoint_path and (i % checkpoint_every == 0 or i == n - 1):
-            save_odometry_state(checkpoint_path, i, poses, deltas)
-    poses = np.stack(poses)
+    frontend = cfg.frontend
+    if frontend == "auto":
+        frontend = "host" if checkpoint_path else "scan"
+    if frontend == "scan":
+        pts = jnp.stack([c.points for c in clouds])
+        msk = jnp.stack([c.mask for c in clouds])
+        deltas_d = odometry_deltas_scan(pts, msk, iters=cfg.icp_iters,
+                                        dist_thresh=cfg.icp_dist_thresh,
+                                        query_chunk=cfg.query_chunk)
+        poses = np.asarray(compose_deltas(deltas_d))
+    else:
+        poses = [np.eye(4, dtype=np.float32)]
+        deltas = [np.eye(4, dtype=np.float32)]
+        start = 1
+        if checkpoint_path:
+            restored = load_odometry_state(checkpoint_path)
+            if restored:
+                start, poses, deltas = restored
+                start += 1
+        for i in range(start, n):
+            prev, cur = clouds[i - 1], clouds[i]
+            init = jnp.asarray(deltas[-1])        # constant-velocity prior
+            # T maps cur (src) into prev (dst) frame
+            T = np.asarray(icp_fixed_iters(
+                cur.points, cur.mask, prev.points, prev.mask, init_T=init,
+                iters=cfg.icp_iters, dist_thresh=cfg.icp_dist_thresh,
+                query_chunk=cfg.query_chunk))
+            deltas.append(T.astype(np.float32))
+            poses.append((poses[-1] @ T).astype(np.float32))
+            if checkpoint_path and (i % checkpoint_every == 0 or i == n - 1):
+                save_odometry_state(checkpoint_path, i, poses, deltas)
+        poses = np.stack(poses)
 
     # keyframes + odometry edges between consecutive keyframes
     kf = list(range(0, n, cfg.keyframe_every))

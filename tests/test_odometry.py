@@ -83,3 +83,40 @@ def test_odometry_checkpoint_resume(tmp_path, rng):
     np.testing.assert_allclose(resumed["poses"][:5], full["poses"][:5],
                                atol=1e-5)
     assert resumed["poses"].shape == full["poses"].shape
+
+
+@pytest.mark.slow
+def test_scan_frontend_matches_host():
+    """The device-resident lax.scan front end produces the same deltas as
+    the per-frame host loop (same jitted ICP, same priors)."""
+    rng = np.random.default_rng(7)
+    world = make_world(rng, n=3000)
+    gt = circular_trajectory(8, radius=6.0)
+    scans = [render_scan(world, p, rng) for p in gt]
+    cfg_h = OdometryConfig(voxel_leaf=0.5, icp_iters=15,
+                           icp_dist_thresh=3.0, keyframe_every=4,
+                           query_chunk=1024, frontend="host")
+    cfg_s = OdometryConfig(voxel_leaf=0.5, icp_iters=15,
+                           icp_dist_thresh=3.0, keyframe_every=4,
+                           query_chunk=1024, frontend="scan")
+    out_h = run_odometry(scans, cfg_h)
+    out_s = run_odometry(scans, cfg_s)
+    np.testing.assert_allclose(out_s["poses"], out_h["poses"], atol=1e-3)
+
+
+def test_compose_deltas_matches_chain():
+    from pctpu.pipelines.odometry import compose_deltas
+    from scipy.spatial.transform import Rotation
+    rng = np.random.default_rng(3)
+    F = 9
+    deltas = []
+    for i in range(F):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rotation.random(random_state=i).as_matrix()
+        T[:3, 3] = rng.normal(size=3)
+        deltas.append(T)
+    out = np.asarray(compose_deltas(np.stack(deltas)))
+    acc = np.eye(4, dtype=np.float32)
+    for i in range(F):
+        acc = (acc @ deltas[i]).astype(np.float32)
+        np.testing.assert_allclose(out[i], acc, atol=1e-4)
