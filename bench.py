@@ -90,23 +90,32 @@ def rte_rre(T_pred, T_gt):
     return rte, rre
 
 
-def _slope_time(run, k_lo=2, k_hi=22, trials=3):
+def _slope_time(run, k_lo=2, k_hi=22, trials=3, max_retries=3):
     """Steady-state seconds per `run()` via two-point slope timing: K
     back-to-back dispatches + ONE final host fetch for K in {k_lo, k_hi};
     (t_hi - t_lo) / (k_hi - k_lo) cancels the fixed dispatch/fetch
-    round-trip. Best of `trials` per point."""
-    ts = {}
-    for k in (k_lo, k_hi):
-        best = 1e9
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(k):
-                out = run()
-            np.asarray(out)
-            best = min(best, time.perf_counter() - t0)
-        ts[k] = best
-    return max((ts[k_hi] - ts[k_lo]) / (k_hi - k_lo), 1e-9)
+    round-trip. Best of `trials` per point. A crossed pair (t_hi <= t_lo,
+    i.e. timing noise exceeding the measured work) retries with more
+    trials and then ABORTS rather than silently reporting a nonsense
+    ~1e9x throughput."""
+    for attempt in range(max_retries):
+        ts = {}
+        for k in (k_lo, k_hi):
+            best = 1e9
+            for _ in range(trials * (attempt + 1)):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(k):
+                    out = run()
+                np.asarray(out)
+                best = min(best, time.perf_counter() - t0)
+            ts[k] = best
+        if ts[k_hi] > ts[k_lo]:
+            return (ts[k_hi] - ts[k_lo]) / (k_hi - k_lo)
+    raise RuntimeError(
+        f"slope timing failed: t({k_hi})={ts[k_hi]:.6f}s <= "
+        f"t({k_lo})={ts[k_lo]:.6f}s after {max_retries} retries — "
+        "timing noise exceeds the measured work; refusing to report")
 
 
 def bench_ours(src, dst, T_gt):

@@ -148,7 +148,7 @@ def _s_rotation_polar3(H, newton_iters: int = 6):
                  for i in range(3))
 
 
-def _s_procrustes_from_moments(m):
+def _s_procrustes_from_moments(m, newton_iters: int = 6):
     """(R, t) from 16 moment scalars m[a][b] = sum w [p;1]_a [q;1]_b
     (scalar form of `register.procrustes.procrustes_from_moments`,
     solver='polar')."""
@@ -159,7 +159,7 @@ def _s_procrustes_from_moments(m):
     # H = sum w q p^T - sq sp^T / sw;  H[i][j] = m[j][i] - sq_i sp_j / sw
     H = tuple(tuple(m[j][i] - sq[i] * sp[j] * inv_sw for j in range(3))
               for i in range(3))
-    R = _s_rotation_polar3(H)
+    R = _s_rotation_polar3(H, newton_iters=newton_iters)
     src_c = tuple(c * inv_sw for c in sp)
     dst_c = tuple(c * inv_sw for c in sq)
     Rs = _s_matvec(R, src_c)
@@ -171,13 +171,18 @@ def _s_procrustes_from_moments(m):
 # the mega kernel
 # ---------------------------------------------------------------------------
 
-def _icp_mega_kernel(scal_ref, lut_ref, cent_ref, src_ref, spen_ref,
-                     dbt_ref, pen_ref, out_ref, m44_ref, pose_ref, *,
-                     block: int, window_blocks: int, thresh2: float,
-                     query_tile: int, nb: int, newton_iters: int):
-    k = pl.program_id(0)          # ICP iteration
-    i = pl.program_id(1)          # query tile
-    ntiles = pl.num_programs(1)
+def _mega_body(k, i, ntiles, niters, scal_ref, lut_ref, cent_ref, src_ref,
+               spen_ref, dbt_ref, out_ref, m44_ref, pose_ref, *,
+               block: int, window_blocks: int, thresh2: float,
+               query_tile: int, nb: int, newton_iters: int):
+    """Shared body of the mega kernel: one (iteration k, query tile i)
+    grid step. `niters` = total ICP iterations in this launch.
+
+    dbt_ref is the [5, Np] packed db: rows x,y,z, pen2 (=|b|^2 + mask
+    penalty), ones. Folding pen2 into the db lets the distance partial
+    d2 = pen2 - 2 b.q come out of ONE K=4 matmul — a [Np,1] side input
+    would pad its lane dim 1 -> 128 in VMEM (8 MB at 16k points, 64 MB
+    at full scan res) and sink the whole kernel's VMEM budget."""
 
     @pl.when((k == 0) & (i == 0))
     def _():
@@ -220,17 +225,21 @@ def _icp_mega_kernel(scal_ref, lut_ref, cent_ref, src_ref, spen_ref,
     qt3 = jnp.concatenate([xt, yt, zt], axis=0)        # [3, TQ] transformed
     qn = xt * xt + yt * yt + zt * zt                   # [1, TQ]
     qpen = spen_ref[0:1, pl.ds(i * tq, tq)]            # [1, TQ]
+    ones = jnp.ones((1, tq), jnp.float32)
+    qa = jnp.concatenate([-2.0 * qt3, ones], axis=0)   # [4, TQ]
 
     def body(j, carry):
         minv, macc = carry                             # [1,TQ], [4,TQ]
         start = (base + j) * block
-        win4 = dbt_ref[:, pl.ds(start, block)]         # [4, blk]
-        cross = jax.lax.dot_general(
-            win4[0:3, :], qt3, (((0,), (0,)), ((), ())),
+        win5 = dbt_ref[:, pl.ds(start, block)]         # [5, blk]
+        # d2 partial = pen2 - 2 b.q in one matmul: rows x,y,z,pen2 of the
+        # packed db against [-2 q; 1]
+        d2 = jax.lax.dot_general(
+            win5[0:4, :], qa, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # [blk, TQ]
-        d2 = pen_ref[pl.ds(start, block), 0:1] - 2.0 * cross
         tmin = jnp.min(d2, axis=0, keepdims=True)      # [1, TQ]
         sel = (d2 <= tmin).astype(jnp.float32)         # [blk, TQ]
+        win4 = jnp.concatenate([win5[0:3, :], win5[4:5, :]], axis=0)
         ext = jax.lax.dot_general(
             win4, sel, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # [4, TQ] cx cy cz cnt
@@ -246,7 +255,6 @@ def _icp_mega_kernel(scal_ref, lut_ref, cent_ref, src_ref, spen_ref,
     cnt = jnp.maximum(macc[3:4, :], 1.0)
     matched = macc[0:3, :] / cnt                       # tie-averaged coords
     w = ((minv + qn + qpen) < jnp.float32(thresh2)).astype(jnp.float32)
-    ones = jnp.ones((1, tq), jnp.float32)
     hp = jnp.concatenate([qt3, ones], axis=0) * w      # [4, TQ]
     hq = jnp.concatenate([matched, ones], axis=0)      # [4, TQ]
     m44 = jax.lax.dot_general(hp, hq, (((1,), (1,)), ((), ())),
@@ -258,18 +266,25 @@ def _icp_mega_kernel(scal_ref, lut_ref, cent_ref, src_ref, spen_ref,
         # whole-iteration epilogue: scalar-register Procrustes solve and
         # pose compose — the only non-vector work in the entire ICP loop
         m = tuple(tuple(m44_ref[a, b] for b in range(4)) for a in range(4))
-        R, t = _s_procrustes_from_moments(m)
+        R, t = _s_procrustes_from_moments(m, newton_iters=newton_iters)
         Told = ((r00, r01, r02), (r10, r11, r12), (r20, r21, r22))
         told = (t0, t1, t2)
         Rn = _s_matmul(R, Told)
         Rt = _s_matvec(R, told)
         tn = tuple(Rt[a] + t[a] for a in range(3))
+        # degenerate-iteration guard: if the gate rejected (almost) every
+        # correspondence the moment matrix is ~0 and the polar solve would
+        # emit a garbage non-rotation; keep the previous pose instead.
+        # Weights are 0/1 so m[3][3] counts correspondences; Procrustes
+        # needs >= 3 non-degenerate points.
+        ok = m[3][3] >= 3.0
         for a in range(3):
             for b in range(3):
-                pose_ref[0, 3 * a + b] = Rn[a][b]
-            pose_ref[0, 9 + a] = tn[a]
+                pose_ref[0, 3 * a + b] = jnp.where(
+                    ok, Rn[a][b], Told[a][b])
+            pose_ref[0, 9 + a] = jnp.where(ok, tn[a], told[a])
 
-    @pl.when((k == pl.num_programs(0) - 1) & (i == ntiles - 1))
+    @pl.when((k == niters - 1) & (i == ntiles - 1))
     def _():
         for s in range(12):
             out_ref[0, s] = pose_ref[0, s]
@@ -279,10 +294,40 @@ def _icp_mega_kernel(scal_ref, lut_ref, cent_ref, src_ref, spen_ref,
         out_ref[0, 15] = 0.0
 
 
+def _icp_mega_kernel(scal_ref, lut_ref, cent_ref, src_ref, spen_ref,
+                     dbt_ref, out_ref, m44_ref, pose_ref, *,
+                     block: int, window_blocks: int, thresh2: float,
+                     query_tile: int, nb: int, newton_iters: int):
+    _mega_body(pl.program_id(0), pl.program_id(1), pl.num_programs(1),
+               pl.num_programs(0), scal_ref, lut_ref, cent_ref, src_ref,
+               spen_ref, dbt_ref, out_ref, m44_ref, pose_ref,
+               block=block, window_blocks=window_blocks, thresh2=thresh2,
+               query_tile=query_tile, nb=nb, newton_iters=newton_iters)
+
+
+def _icp_mega_kernel_batch(scal_ref, lut_ref, cent_ref, src_ref, spen_ref,
+                           dbt_ref, out_ref, m44_ref, pose_ref, *,
+                           block: int, window_blocks: int, thresh2: float,
+                           query_tile: int, nb: int, newton_iters: int):
+    """Batched variant: grid = (pairs, iters, ntiles); every ref is a
+    per-pair block (leading batch dim squeezed by the BlockSpec)."""
+    _mega_body(pl.program_id(1), pl.program_id(2), pl.num_programs(2),
+               pl.num_programs(1), scal_ref, lut_ref, cent_ref, src_ref,
+               spen_ref, dbt_ref, out_ref, m44_ref, pose_ref,
+               block=block, window_blocks=window_blocks, thresh2=thresh2,
+               query_tile=query_tile, nb=nb, newton_iters=newton_iters)
+
+
+def pack_dbt5(bdb: BandedDB) -> jax.Array:
+    """[5, Np] packed db for the mega kernels: rows x, y, z, pen2, ones."""
+    return jnp.concatenate(
+        [bdb.dbt, bdb.pen2, jnp.ones_like(bdb.pen2)], axis=0)
+
+
 @partial(jax.jit, static_argnames=("iters", "dist_thresh", "block",
                                    "window_blocks", "query_tile",
                                    "interpret", "newton_iters"))
-def icp_mega(bdb: BandedDB, pen2t: jax.Array, src3: jax.Array,
+def icp_mega(bdb: BandedDB, src3: jax.Array,
              spen: jax.Array, centers: jax.Array, init_T: jax.Array,
              iters: int = 30, dist_thresh: float = 5.0,
              block: int = 512, window_blocks: int = 4,
@@ -292,9 +337,8 @@ def icp_mega(bdb: BandedDB, pen2t: jax.Array, src3: jax.Array,
 
     src3 [3, Mp]: SORTED source points (pre-transform, padded to a
     query_tile multiple); spen [1, Mp]: 0 valid / BIG pad; centers
-    [1, 3*ntiles]: per-tile center source coords; pen2t [Np, 1]:
-    bdb.pen2 transposed. Layout prep is once per ICP (see
-    `register.icp.icp_fixed_iters_banded_mega`).
+    [1, 3*ntiles]: per-tile center source coords. Layout prep is once per
+    ICP (see `register.icp.icp_fixed_iters_banded_mega`).
     """
     mp = src3.shape[1]
     nb = bdb.dbt4.shape[1] // block
@@ -304,6 +348,7 @@ def icp_mega(bdb: BandedDB, pen2t: jax.Array, src3: jax.Array,
         init_T[:3, :3].reshape(9), init_T[:3, 3], bdb.lo[None],
         bdb.hi[None], axf[None], jnp.zeros((1,), jnp.float32)]
     ).astype(jnp.float32).reshape(1, 16)
+    dbt5 = pack_dbt5(bdb)
 
     mem = pl.ANY if interpret else pltpu.VMEM
     smem = pl.ANY if interpret else pltpu.SMEM
@@ -318,16 +363,82 @@ def icp_mega(bdb: BandedDB, pen2t: jax.Array, src3: jax.Array,
             pl.BlockSpec(memory_space=smem),   # centers
             pl.BlockSpec(memory_space=mem),    # src3
             pl.BlockSpec(memory_space=mem),    # spen
-            pl.BlockSpec(memory_space=mem),    # dbt4
-            pl.BlockSpec(memory_space=mem),    # pen2t
+            pl.BlockSpec(memory_space=mem),    # dbt5
         ],
         out_specs=pl.BlockSpec(memory_space=smem),
         out_shape=jax.ShapeDtypeStruct((1, 16), jnp.float32),
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32),
                         pltpu.SMEM((1, 16), jnp.float32)],
         interpret=interpret,
-    )(scal, bdb.lut[None, :], centers, src3, spen, bdb.dbt4, pen2t)
+    )(scal, bdb.lut[None, :], centers, src3, spen, dbt5)
     R = out[0, :9].reshape(3, 3)
     t = out[0, 9:12]
     T = jnp.eye(4, dtype=jnp.float32)
     return T.at[:3, :3].set(R).at[:3, 3].set(t)
+
+
+@partial(jax.jit, static_argnames=("iters", "dist_thresh", "block",
+                                   "window_blocks", "query_tile",
+                                   "interpret", "newton_iters"))
+def icp_mega_batch(dbt5: jax.Array, lut: jax.Array,
+                   lo: jax.Array, hi: jax.Array, axis: jax.Array,
+                   src3: jax.Array, spen: jax.Array, centers: jax.Array,
+                   init_T: jax.Array,
+                   iters: int = 30, dist_thresh: float = 5.0,
+                   block: int = 512, window_blocks: int = 4,
+                   query_tile: int = 256, interpret: bool = False,
+                   newton_iters: int = 6) -> jax.Array:
+    """Batched whole-loop ICP: grid = (B, iters, ntiles), one launch for a
+    whole PAIR SWEEP. Unlike `jax.vmap(icp_mega)` — whose batching rule
+    loads the entire [B,...] operands into VMEM and OOMs past ~8 x 16k
+    points — every operand here is blocked per pair via its BlockSpec, so
+    VMEM holds one pair's working set regardless of B.
+
+    Per-pair layouts (leading B on everything):
+      dbt5 [B,5,Np] packed db (x,y,z,pen2,ones), lut [B,1,LUT_BINS+1],
+      lo/hi [B] band-axis range, axis [B] int sort axis, src3 [B,3,Mp],
+      spen [B,1,Mp], centers [B,1,3*ntiles], init_T [B,4,4].
+    Returns [B,4,4].
+    """
+    bsz, _, mp = src3.shape
+    axf = axis.astype(jnp.float32)
+    scal = jnp.concatenate([
+        init_T[:, :3, :3].reshape(bsz, 9), init_T[:, :3, 3],
+        lo[:, None], hi[:, None], axf[:, None],
+        jnp.zeros((bsz, 1), jnp.float32)],
+        axis=1).astype(jnp.float32).reshape(bsz, 1, 16)
+    np_ = dbt5.shape[2]
+    nb = np_ // block
+    wb = min(window_blocks, nb)
+    ntiles = mp // query_tile
+
+    mem = pl.ANY if interpret else pltpu.VMEM
+    smem = pl.ANY if interpret else pltpu.SMEM
+
+    def bspec(shape, space):
+        return pl.BlockSpec((None,) + shape, lambda b, k, i: (b,) + (0,) * len(shape),
+                            memory_space=space)
+
+    out = pl.pallas_call(
+        partial(_icp_mega_kernel_batch, block=block, window_blocks=wb,
+                thresh2=float(dist_thresh) ** 2, query_tile=query_tile,
+                nb=nb, newton_iters=newton_iters),
+        grid=(bsz, iters, ntiles),
+        in_specs=[
+            bspec((1, 16), smem),                  # scal
+            bspec((1, lut.shape[2]), smem),        # lut
+            bspec((1, 3 * ntiles), smem),          # centers
+            bspec((3, mp), mem),                   # src3
+            bspec((1, mp), mem),                   # spen
+            bspec((5, np_), mem),                  # dbt5
+        ],
+        out_specs=bspec((1, 16), smem),
+        out_shape=jax.ShapeDtypeStruct((bsz, 1, 16), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32),
+                        pltpu.SMEM((1, 16), jnp.float32)],
+        interpret=interpret,
+    )(scal, lut, centers, src3, spen, dbt5)
+    R = out[:, 0, :9].reshape(bsz, 3, 3)
+    t = out[:, 0, 9:12]
+    T = jnp.tile(jnp.eye(4, dtype=jnp.float32), (bsz, 1, 1))
+    return T.at[:, :3, :3].set(R).at[:, :3, 3].set(t)

@@ -41,19 +41,19 @@ def batched_icp_mega(src: jax.Array, src_mask: jax.Array,
                      dist_thresh: float = 5.0, block: int = 512,
                      window_blocks: int = 1, query_tile: int = 512,
                      interpret: bool = False) -> jax.Array:
-    """[B,N,3] x [B,M,3] -> [B,4,4]: the whole-loop mega ICP kernel
-    (`ops.pallas_icp_mega`) vmapped over the pair batch — every pair's
-    full iteration schedule runs inside Pallas, so the sweep is two
-    kernel launches total regardless of B. Measured 1244 pairs/s vs 305
-    for `batched_icp` (16 x 4096-pt KITTI pairs, 30 iters, all gated on
-    the reference bound) on one v5e chip."""
-    from pctpu.register.icp import icp_fixed_iters_banded_mega
-    f = partial(icp_fixed_iters_banded_mega, coarse_iters=coarse_iters,
-                polish_iters=polish_iters, dist_thresh=dist_thresh,
-                block=block, window_blocks=window_blocks,
-                query_tile=query_tile, interpret=interpret)
-    return jax.vmap(lambda s, sm, d, dm: f(s, sm, d, dm))(
-        src, src_mask, dst, dst_mask)
+    """[B,N,3] x [B,M,3] -> [B,4,4]: the whole-loop mega ICP kernel run
+    over the pair batch as ONE (B, iters, ntiles)-grid Pallas launch per
+    phase (`ops.pallas_icp_mega.icp_mega_batch`) — per-pair BlockSpec
+    blocking keeps VMEM at a single pair's working set for any B (the
+    earlier `jax.vmap` formulation OOMed VMEM past ~8 x 16k points).
+    Measured 1244 pairs/s vs 305 for `batched_icp` (16 x 4096-pt KITTI
+    pairs, 30 iters, all gated on the reference bound) on one v5e chip."""
+    from pctpu.register.icp import icp_fixed_iters_banded_mega_batch
+    return icp_fixed_iters_banded_mega_batch(
+        src, src_mask, dst, dst_mask, coarse_iters=coarse_iters,
+        polish_iters=polish_iters, dist_thresh=dist_thresh,
+        block=block, window_blocks=window_blocks,
+        query_tile=query_tile, interpret=interpret)
 
 
 def make_pair_sweep(mesh: Mesh, pair_axis: str = "data",

@@ -380,22 +380,93 @@ def icp_fixed_iters_banded_mega(src: jax.Array, src_mask: jax.Array,
     ntiles = mp // query_tile
     centers = src3[:, query_tile // 2::query_tile]        # [3, ntiles]
     centers = centers.T.reshape(1, 3 * ntiles)
-    pen2t = bdb.pen2.T                                     # [Np, 1]
     nb = bdb.dbt4.shape[1] // block
 
     T = init_T.astype(jnp.float32)
     if coarse_iters > 0:
-        T = icp_mega(bdb, pen2t, src3, spen, centers, T,
+        T = icp_mega(bdb, src3, spen, centers, T,
                      iters=coarse_iters, dist_thresh=dist_thresh,
                      block=block, window_blocks=window_blocks,
                      query_tile=query_tile, interpret=interpret,
                      newton_iters=newton_iters)
     if polish_iters > 0:
-        T = icp_mega(bdb, pen2t, src3, spen, centers, T,
+        T = icp_mega(bdb, src3, spen, centers, T,
                      iters=polish_iters, dist_thresh=dist_thresh,
                      block=block, window_blocks=nb,
                      query_tile=query_tile, interpret=interpret,
                      newton_iters=newton_iters)
+    return T
+
+
+@partial(jax.jit, static_argnames=("coarse_iters", "polish_iters",
+                                   "dist_thresh", "block", "window_blocks",
+                                   "query_tile", "interpret",
+                                   "newton_iters"))
+def icp_fixed_iters_banded_mega_batch(src: jax.Array, src_mask: jax.Array,
+                                      dst: jax.Array, dst_mask: jax.Array,
+                                      init_T: Optional[jax.Array] = None,
+                                      coarse_iters: int = 45,
+                                      polish_iters: int = 5,
+                                      dist_thresh: float = 5.0,
+                                      block: int = 512,
+                                      window_blocks: int = 4,
+                                      query_tile: int = 256,
+                                      interpret: bool = False,
+                                      newton_iters: int = 6) -> jax.Array:
+    """Batched whole-loop mega ICP: src/dst [B,N,3]/[B,M,3] -> T [B,4,4].
+
+    The pair sweep runs as ONE Pallas launch per phase with a (B, iters,
+    ntiles) grid and per-pair BlockSpec blocking (`ops.pallas_icp_mega.
+    icp_mega_batch`) — scales to arbitrary B at full scan resolution where
+    `jax.vmap(icp_fixed_iters_banded_mega)` exhausts VMEM. Layout prep
+    (banded build + source sort) is vmapped XLA."""
+    from pctpu.ops.pallas_banded import build_banded
+    from pctpu.ops.pallas_icp_mega import icp_mega_batch
+    b, n, _ = src.shape
+    if init_T is None:
+        init_T = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))
+    init_T = init_T.astype(jnp.float32)
+    bdb = jax.vmap(partial(build_banded, block=block))(dst, dst_mask)
+    mp = ((n + query_tile - 1) // query_tile) * query_tile
+    ntiles = mp // query_tile
+
+    def prep(src_i, mask_i, axis_i, T_i):
+        # order source tiles by the INIT-TRANSFORMED band-axis coordinate
+        # (see icp_fixed_iters_banded_mega)
+        st = src_i @ T_i[:3, :3].T + T_i[:3, 3]
+        svals = st @ (jnp.arange(3) == axis_i).astype(jnp.float32)
+        svals = jnp.where(mask_i, svals, jnp.float32(1e30))
+        sorder = jnp.argsort(svals)
+        src_s = src_i[sorder].astype(jnp.float32)
+        mask_s = mask_i[sorder]
+        src3 = jnp.zeros((3, mp), jnp.float32).at[:, :n].set(src_s.T)
+        spen = jnp.full((1, mp), 1e30, jnp.float32).at[0, :n].set(
+            jnp.where(mask_s, 0.0, 1e30))
+        centers = src3[:, query_tile // 2::query_tile]
+        centers = centers.T.reshape(1, 3 * ntiles)
+        return src3, spen, centers
+
+    src3, spen, centers = jax.vmap(prep)(src, src_mask, bdb.axis, init_T)
+    dbt5 = jnp.concatenate(                     # [B, 5, Np] packed db
+        [bdb.dbt, bdb.pen2, jnp.ones_like(bdb.pen2)], axis=1)
+    lut = bdb.lut[:, None, :]                   # [B, 1, L]
+    nb = bdb.dbt4.shape[2] // block
+
+    T = init_T
+    if coarse_iters > 0:
+        T = icp_mega_batch(dbt5, lut, bdb.lo, bdb.hi, bdb.axis,
+                           src3, spen, centers, T,
+                           iters=coarse_iters, dist_thresh=dist_thresh,
+                           block=block, window_blocks=window_blocks,
+                           query_tile=query_tile, interpret=interpret,
+                           newton_iters=newton_iters)
+    if polish_iters > 0:
+        T = icp_mega_batch(dbt5, lut, bdb.lo, bdb.hi, bdb.axis,
+                           src3, spen, centers, T,
+                           iters=polish_iters, dist_thresh=dist_thresh,
+                           block=block, window_blocks=nb,
+                           query_tile=query_tile, interpret=interpret,
+                           newton_iters=newton_iters)
     return T
 
 

@@ -6,7 +6,9 @@ End-to-end re-design of `Registration/main.py:183-222`:
   point-to-point ICP refine -> (t, q_wxyz) result row.
 
 Everything between the file reads and the result row is one jitted program
-per pair; pairs batch/shard across devices via `pctpu.parallel`.
+per pair — and the whole chain is vmappable: `register_pairs` runs a BATCH
+of pairs through voxel->FPFH->matching->RANSAC->mega-ICP as one program
+(the reference loops its 342 pairs one at a time, `main.py:190`).
 """
 from __future__ import annotations
 
@@ -42,9 +44,10 @@ class RegistrationConfig:
     # compacts valid voxels to the front, so slicing to a tight capacity
     # removes dead padding from every downstream stage (a 16k KITTI scan
     # at 2.0 m leaves ~1k voxels — the full-capacity FPFH was 16x dead
-    # work). Voxels beyond the cap are DROPPED; raise it for denser
-    # clouds (telemetry: RegistrationOutput.num_matches, and
-    # `ops.voxel` keeps the full-capacity mask if you need the count).
+    # work). When the cap binds, voxels are subsampled with a UNIFORM
+    # STRIDE over the lexsorted valid voxels (not a prefix slice, which
+    # would drop one spatially contiguous end of the scene); telemetry:
+    # RegistrationOutput.src_voxels / dst_voxels carry the pre-cap counts.
     downsample_capacity: int = 2048
     # 'mega' = whole-loop Pallas fixed-iteration kernel (TPU; ~5 ms for
     # 50 iterations on a 16k pair), 'while' = XLA while-loop with
@@ -61,28 +64,38 @@ class RegistrationOutput(NamedTuple):
     icp_iters: jax.Array
     icp_rmse: jax.Array
     num_matches: jax.Array
+    src_voxels: jax.Array       # pre-cap valid-voxel count (telemetry)
+    dst_voxels: jax.Array
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def register_pair(src: PointCloud, dst: PointCloud,
-                  key: Optional[jax.Array] = None,
-                  cfg: RegistrationConfig = RegistrationConfig()
-                  ) -> RegistrationOutput:
-    """Full coarse-to-fine registration of two padded clouds."""
-    if key is None:
-        key = jax.random.PRNGKey(0)
+def _cap_uniform(down: PointCloud, cap: int):
+    """Slice a front-compacted voxel cloud to `cap` points. When the valid
+    count exceeds the cap, stride uniformly over the valid prefix (the
+    voxels are lexsorted by cell, so a stride samples the scene evenly)
+    instead of taking the spatially-biased lexicographic prefix."""
+    n = down.points.shape[0]
+    nv = jnp.sum(down.mask).astype(jnp.int32)
+    if cap >= n:
+        return down, nv
+    i = jnp.arange(cap, dtype=jnp.int32)
+    idx = jnp.where(nv > cap, (i * nv) // cap, i)
+    return PointCloud(points=down.points[idx], mask=down.mask[idx]), nv
+
+
+def _front_end(src: PointCloud, dst: PointCloud, key: jax.Array,
+               cfg: RegistrationConfig):
+    """voxel -> FPFH -> mutual matching -> RANSAC global init. Vmappable."""
 
     def preprocess(pc: PointCloud):
         down = voxel_downsample(pc.points, pc.mask, cfg.voxel_size)
-        cap = min(cfg.downsample_capacity, down.points.shape[0])
-        down = PointCloud(points=down.points[:cap], mask=down.mask[:cap])
+        down, nv = _cap_uniform(down, cfg.downsample_capacity)
         feats = fpfh(down.points, mask=down.mask,
                      radius=cfg.feature_radius, k_cap=cfg.feature_k_cap,
                      normal_k=cfg.normal_k)
-        return down, feats
+        return down, feats, nv
 
-    sdown, sfeat = preprocess(src)
-    ddown, dfeat = preprocess(dst)
+    sdown, sfeat, s_nv = preprocess(src)
+    ddown, dfeat, d_nv = preprocess(dst)
 
     matches = match_features(sfeat, dfeat, src_mask=sdown.mask,
                              dst_mask=ddown.mask, mutual=True)
@@ -92,12 +105,32 @@ def register_pair(src: PointCloud, dst: PointCloud,
         src_kp, dst_kp, corr_valid=matches.valid, key=key,
         dist_thresh=cfg.ransac_dist,
         num_hypotheses=cfg.ransac_hypotheses)
+    return rr, jnp.sum(matches.valid).astype(jnp.int32), s_nv, d_nv
+
+
+def _icp_stats(T, src: PointCloud, dst: PointCloud,
+               cfg: RegistrationConfig, backend: str = "auto"):
+    """One exact association pass at the final pose: inlier count + RMSE
+    (the reference-parity statistics)."""
+    from pctpu.ops.knn import nearest
+    d2, _ = nearest(se3.apply_transform(T, src.points), dst.points,
+                    dst.mask, cfg.icp_query_chunk, backend=backend)
+    inl = (d2 <= jnp.float32(cfg.icp_dist_thresh) ** 2) & src.mask
+    num = jnp.sum(inl).astype(jnp.int32)
+    rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d2, 0.0))
+                    / jnp.maximum(num.astype(jnp.float32), 1.0))
+    return num, rmse
+
+
+def _register_pair_impl(src: PointCloud, dst: PointCloud, key: jax.Array,
+                        cfg: RegistrationConfig) -> RegistrationOutput:
+    """The full coarse-to-fine chain for ONE pair."""
+    rr, num_matches, s_nv, d_nv = _front_end(src, dst, key, cfg)
 
     backend = cfg.icp_backend
     if backend == "auto":
         backend = "mega" if jax.default_backend() == "tpu" else "while"
     if backend == "mega":
-        from pctpu.ops.knn import nearest
         from pctpu.register.icp import icp_fixed_iters_banded_mega
         T = icp_fixed_iters_banded_mega(
             src.points, src.mask, dst.points, dst.mask, init_T=rr.T,
@@ -105,14 +138,7 @@ def register_pair(src: PointCloud, dst: PointCloud,
             polish_iters=cfg.icp_fixed_polish,
             dist_thresh=cfg.icp_dist_thresh, block=1024,
             window_blocks=1, query_tile=1024)
-        # one exact association pass for the reference-parity statistics
-        # (inlier count + RMSE at the final pose)
-        d2, _ = nearest(se3.apply_transform(T, src.points), dst.points,
-                        dst.mask, cfg.icp_query_chunk)
-        inl = (d2 <= jnp.float32(cfg.icp_dist_thresh) ** 2) & src.mask
-        num = jnp.sum(inl).astype(jnp.int32)
-        rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d2, 0.0))
-                        / jnp.maximum(num.astype(jnp.float32), 1.0))
+        num, rmse = _icp_stats(T, src, dst, cfg)
         icp_T, icp_iters, icp_rmse = T, jnp.int32(
             cfg.icp_fixed_coarse + cfg.icp_fixed_polish), rmse
     else:
@@ -123,7 +149,69 @@ def register_pair(src: PointCloud, dst: PointCloud,
                                  init_T=rr.T, cfg=icp_cfg)
         icp_T, icp_iters, icp_rmse = icp.T, icp.iters, icp.rmse
     return RegistrationOutput(icp_T, rr.T, rr.fitness, icp_iters, icp_rmse,
-                              jnp.sum(matches.valid).astype(jnp.int32))
+                              num_matches, s_nv, d_nv)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register_pair(src: PointCloud, dst: PointCloud,
+                  key: Optional[jax.Array] = None,
+                  cfg: RegistrationConfig = RegistrationConfig()
+                  ) -> RegistrationOutput:
+    """Full coarse-to-fine registration of two padded clouds."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _register_pair_impl(src, dst, key, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register_pairs(src: PointCloud, dst: PointCloud,
+                   keys: Optional[jax.Array] = None,
+                   cfg: RegistrationConfig = RegistrationConfig()
+                   ) -> RegistrationOutput:
+    """Batched full pipeline: clouds with a leading pair axis [B,N,3]/[B,N].
+
+    The entire chain (voxel downsample -> FPFH -> mutual matching -> RANSAC
+    -> mega ICP) is vmapped over the pair batch — one compiled program, a
+    handful of kernel launches for the whole sweep, instead of the
+    reference's per-pair Python loop (`Registration/main.py:183-222`).
+    """
+    b = src.points.shape[0]
+    if keys is None:
+        keys = jax.random.split(jax.random.PRNGKey(0), b)
+    rr, num_matches, s_nv, d_nv = jax.vmap(
+        lambda s, d, k: _front_end(s, d, k, cfg))(src, dst, keys)
+
+    backend = cfg.icp_backend
+    if backend == "auto":
+        backend = "mega" if jax.default_backend() == "tpu" else "while"
+    if backend == "mega":
+        # the explicitly-batched mega kernel: per-pair BlockSpec blocking
+        # keeps VMEM at one pair's working set for any B (jax.vmap of the
+        # single-pair kernel loads the whole batch into VMEM and OOMs)
+        from pctpu.register.icp import icp_fixed_iters_banded_mega_batch
+        T = icp_fixed_iters_banded_mega_batch(
+            src.points, src.mask, dst.points, dst.mask, init_T=rr.T,
+            coarse_iters=cfg.icp_fixed_coarse,
+            polish_iters=cfg.icp_fixed_polish,
+            dist_thresh=cfg.icp_dist_thresh, block=1024,
+            window_blocks=1, query_tile=1024)
+        num, rmse = jax.vmap(
+            lambda t, s, d: _icp_stats(t, s, d, cfg, backend="xla"))(
+                T, src, dst)
+        iters = jnp.full((b,), cfg.icp_fixed_coarse + cfg.icp_fixed_polish,
+                         jnp.int32)
+        return RegistrationOutput(T, rr.T, rr.fitness, iters, rmse,
+                                  num_matches, s_nv, d_nv)
+
+    icp_cfg = ICPConfig(max_iters=cfg.icp_max_iters,
+                        dist_thresh=cfg.icp_dist_thresh,
+                        query_chunk=cfg.icp_query_chunk,
+                        backend="xla")
+    icp = jax.vmap(lambda s, d, t: icp_point_to_point(
+        s.points, s.mask, d.points, d.mask, init_T=t, cfg=icp_cfg))(
+            src, dst, rr.T)
+    return RegistrationOutput(icp.T, rr.T, rr.fitness, icp.iters, icp.rmse,
+                              num_matches, s_nv, d_nv)
 
 
 def result_row(idx1: int, idx2: int, T) -> tuple:

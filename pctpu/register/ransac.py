@@ -106,9 +106,33 @@ def ransac_registration(src_pts: jax.Array, dst_pts: jax.Array,
     Rs, ts, nondegen = _triad_rigid(s, d)                  # [H,3,3], [H,3]
     sample_ok = sample_ok & nondegen
 
-    # Score every hypothesis against all correspondences at once: [H,M]
-    transformed = jnp.einsum("hij,mj->hmi", Rs, src_pts) + ts[:, None, :]
-    err2 = jnp.sum((transformed - dst_pts[None]) ** 2, axis=-1)
+    # Score every hypothesis against all correspondences at once. The
+    # residual |R_h p_m + t_h - q_m|^2 expands into terms bilinear in
+    # per-hypothesis and per-correspondence quantities:
+    #   |p|^2 + |q|^2 + |t|^2 + 2 (t^T R) . p - 2 vec(R) . (q p^T) - 2 t . q
+    # so the whole [H,M] error matrix is ONE [H,16] x [16,M] matmul on the
+    # MXU — no [H,M,3] transformed-cloud materialization (memory-light
+    # enough to vmap over a pair batch; see `pipeline.register_pairs`).
+    p2 = jnp.sum(src_pts * src_pts, axis=-1)               # [M]
+    q2 = jnp.sum(dst_pts * dst_pts, axis=-1)               # [M]
+    qp = jnp.einsum("mi,mj->mij", dst_pts, src_pts)        # [M,3,3]
+    G = jnp.concatenate([
+        (p2 + q2)[None, :],                                # 1
+        jnp.ones((1, m), jnp.float32),                     # |t|^2 coeff
+        src_pts.T,                                         # 3
+        qp.reshape(m, 9).T,                                # 9
+        dst_pts.T,                                         # 3
+    ], axis=0)                                             # [16, M]
+    tR = jnp.einsum("hi,hij->hj", ts, Rs)                  # [H,3]
+    F = jnp.concatenate([
+        jnp.ones((num_hypotheses, 1), jnp.float32),
+        jnp.sum(ts * ts, axis=-1, keepdims=True),
+        2.0 * tR,
+        -2.0 * Rs.reshape(num_hypotheses, 9),
+        -2.0 * ts,
+    ], axis=1)                                             # [H,16]
+    err2 = jax.lax.dot_general(F, G, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
     inl = (err2 < thresh2) & corr_valid[None, :]
     scores = jnp.sum(inl, axis=1) * sample_ok.astype(jnp.int32)
 
@@ -125,3 +149,78 @@ def ransac_registration(src_pts: jax.Array, dst_pts: jax.Array,
     T = se3.make_transform(R, t)
     inliers = jnp.sum(inlier_mask).astype(jnp.int32)
     return RansacResult(T, inliers, inlier_mask, inliers / n_valid)
+
+
+class AdaptiveRansacResult(NamedTuple):
+    T: jax.Array
+    inliers: jax.Array
+    inlier_mask: jax.Array
+    fitness: jax.Array
+    hypotheses_consumed: int   # host int: lottery tickets actually played
+
+
+def ransac_registration_adaptive(src_pts: jax.Array, dst_pts: jax.Array,
+                                 corr_valid: Optional[jax.Array] = None,
+                                 key: Optional[jax.Array] = None,
+                                 dist_thresh: float = 4.0,
+                                 edge_ratio: float = 0.9,
+                                 batch_hypotheses: int = 8192,
+                                 max_iterations: int = 100000,
+                                 confidence: float = 0.999,
+                                 refine: bool = True) -> AdaptiveRansacResult:
+    """Confidence-gated RANSAC: Open3D `RANSACConvergenceCriteria(max_iter,
+    confidence)` parity (`Registration/main.py:83` — (100000, 0.999)).
+
+    A host-level loop consumes `batch_hypotheses`-sized vectorized batches
+    (each one `ransac_registration` call) and stops once the standard
+    adaptive bound k >= log(1-confidence)/log(1-w^3) is met, where w is the
+    best fitness seen so far — i.e. once the probability that every batch
+    missed an all-inlier sample drops below 1-confidence. Reports the
+    hypotheses actually consumed. With the reference's inlier ratios one
+    8192-batch nearly always suffices, so the adaptive loop exits after a
+    single device call — the capability cost is one host float compare.
+    """
+    import math
+
+    m = src_pts.shape[0]
+    if corr_valid is None:
+        corr_valid = jnp.ones((m,), bool)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_valid = max(int(jnp.sum(corr_valid)), 1)
+
+    best = None
+    consumed = 0
+    batch_i = 0
+    while consumed < max_iterations:
+        r = ransac_registration(
+            src_pts, dst_pts, corr_valid=corr_valid,
+            key=jax.random.fold_in(key, batch_i),
+            dist_thresh=dist_thresh, edge_ratio=edge_ratio,
+            num_hypotheses=batch_hypotheses, refine=False)
+        consumed += batch_hypotheses
+        batch_i += 1
+        if best is None or int(r.inliers) > int(best.inliers):
+            best = r
+        w = min(float(best.inliers) / n_valid, 1.0 - 1e-9)
+        p_good = w ** 3
+        if p_good >= 1.0 - 1e-12:
+            break
+        if p_good <= 0.0:
+            continue   # zero inliers so far: no confidence bound yet
+        needed = math.log(max(1.0 - confidence, 1e-300)) / math.log(
+            1.0 - p_good)
+        if consumed >= needed:
+            break
+
+    T, inlier_mask = best.T, best.inlier_mask
+    if refine:
+        thresh2 = jnp.float32(dist_thresh) ** 2
+        R, t = weighted_procrustes(src_pts, dst_pts,
+                                   inlier_mask.astype(jnp.float32))
+        err2 = jnp.sum((src_pts @ R.T + t - dst_pts) ** 2, axis=-1)
+        inlier_mask = (err2 < thresh2) & corr_valid
+        T = se3.make_transform(R, t)
+    inliers = jnp.sum(inlier_mask).astype(jnp.int32)
+    return AdaptiveRansacResult(T, inliers, inlier_mask,
+                                inliers / jnp.float32(n_valid), consumed)

@@ -8,7 +8,8 @@ from scipy.spatial.transform import Rotation
 
 from pctpu.core import se3
 from pctpu.core.cloud import PointCloud
-from pctpu.register.pipeline import (RegistrationConfig, register_pair)
+from pctpu.register.pipeline import (RegistrationConfig, register_pair,
+                                     register_pairs)
 
 
 def make_structured_scene(rng, n=4000):
@@ -56,3 +57,71 @@ def test_register_pair_end_to_end(rng):
     assert float(rte) < 2.0, (float(rte), float(rre))
     assert float(rre) < 5.0, (float(rte), float(rre))
     assert int(out.num_matches) > 20
+
+
+@pytest.mark.slow
+def test_register_pairs_batched(rng):
+    """The vmapped full pipeline solves a batch of distinct pairs and
+    matches the single-pair path's answers (VERDICT r3 item 1)."""
+    src_np = make_structured_scene(rng, n=2000)
+    batch = 3
+    srcs, dsts, gts = [], [], []
+    for i in range(batch):
+        angle = np.radians(10.0 + 7.0 * i)
+        R = Rotation.from_rotvec([0, 0, angle]).as_matrix().astype(np.float32)
+        t = np.array([2.0 + i, -1.0, 0.1 * i], np.float32)
+        dst_np = (src_np @ R.T + t + rng.normal(
+            scale=0.02, size=src_np.shape)).astype(np.float32)
+        T_gt = np.eye(4, dtype=np.float32)
+        T_gt[:3, :3] = R
+        T_gt[:3, 3] = t
+        srcs.append(src_np)
+        dsts.append(dst_np)
+        gts.append(T_gt)
+
+    src = PointCloud(points=jnp.asarray(np.stack(srcs)),
+                     mask=jnp.ones((batch, src_np.shape[0]), bool))
+    dst = PointCloud(points=jnp.asarray(np.stack(dsts)),
+                     mask=jnp.ones((batch, src_np.shape[0]), bool))
+    cfg = RegistrationConfig(voxel_size=1.0, feature_radius=5.0,
+                             ransac_dist=1.5, ransac_hypotheses=2048,
+                             icp_dist_thresh=2.0, icp_query_chunk=1024,
+                             downsample_capacity=1024)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    out = register_pairs(src, dst, keys=keys, cfg=cfg)
+    assert out.T.shape == (batch, 4, 4)
+    for i in range(batch):
+        rte, rre = se3.pose_diff_rte_rre(out.T[i], jnp.asarray(gts[i]))
+        assert float(rte) < 2.0, (i, float(rte), float(rre))
+        assert float(rre) < 5.0, (i, float(rte), float(rre))
+
+    # batched row 0 == single-pair path on the same inputs/key
+    one = register_pair(
+        PointCloud(points=src.points[0], mask=src.mask[0]),
+        PointCloud(points=dst.points[0], mask=dst.mask[0]),
+        key=keys[0], cfg=cfg)
+    np.testing.assert_allclose(np.asarray(out.T[0]), np.asarray(one.T),
+                               atol=1e-4)
+
+
+def test_capacity_cap_uniform_stride(rng):
+    """When downsample_capacity binds, the kept voxels span the WHOLE
+    scene (uniform stride), not a lexicographic prefix (ADVICE r3)."""
+    from pctpu.ops.voxel import voxel_downsample
+    from pctpu.register.pipeline import _cap_uniform
+    pts = rng.uniform(-20, 20, (4096, 3)).astype(np.float32)
+    mask = jnp.ones((4096,), bool)
+    down = voxel_downsample(jnp.asarray(pts), mask, 1.0)
+    nv = int(jnp.sum(down.mask))
+    cap = nv // 3
+    capped, nv_out = _cap_uniform(down, cap)
+    assert int(nv_out) == nv
+    assert capped.points.shape[0] == cap
+    assert bool(jnp.all(capped.mask))
+    kept = np.asarray(capped.points)
+    full = np.asarray(down.points)[np.asarray(down.mask)]
+    # the voxels are lexsorted by cell x: a prefix slice would cover only
+    # the low-x end; the stride must span (nearly) the full x range
+    span_kept = kept[:, 0].max() - kept[:, 0].min()
+    span_full = full[:, 0].max() - full[:, 0].min()
+    assert span_kept > 0.9 * span_full

@@ -135,6 +135,34 @@ def test_ransac_registration(rng):
     assert int(res.inliers) >= 110
 
 
+def test_ransac_adaptive_confidence_exit(rng):
+    """Open3D (max_iteration, confidence) criterion parity
+    (`Registration/main.py:83`): with a healthy inlier ratio the adaptive
+    loop stops after ONE hypothesis batch; with the ratio forced to ~0 it
+    runs to max_iterations. Result quality matches the fixed-batch path."""
+    src, dst, T_gt = make_pair(rng, n=300, angle_deg=40, trans=5.0)
+    dst_corr = dst.copy()
+    bad = rng.choice(300, 180, replace=False)
+    dst_corr[bad] = rng.uniform(-20, 20, size=(180, 3))
+    res = register.ransac_registration_adaptive(
+        jnp.asarray(src), jnp.asarray(dst_corr),
+        key=jax.random.PRNGKey(0), dist_thresh=0.5,
+        batch_hypotheses=2048, max_iterations=100000, confidence=0.999)
+    rte, rre = se3.pose_diff_rte_rre(res.T, jnp.asarray(T_gt))
+    assert float(rte) < 0.1 and float(rre) < 1.0
+    # 40% inliers -> needed ~ log(.001)/log(1-.4^3) ~ 104 << 2048
+    assert res.hypotheses_consumed == 2048
+
+    # all-outlier correspondences: never reaches confidence, consumes the
+    # full budget
+    dst_junk = rng.uniform(-20, 20, size=dst.shape).astype(np.float32)
+    res2 = register.ransac_registration_adaptive(
+        jnp.asarray(src), jnp.asarray(dst_junk),
+        key=jax.random.PRNGKey(1), dist_thresh=1e-6,
+        batch_hypotheses=2048, max_iterations=8192, confidence=0.999)
+    assert res2.hypotheses_consumed >= 8192
+
+
 def test_evaluate_rt_files(tmp_path, rng):
     from pctpu.core import io as pio
     # build gt + pred files: 3 rows, one pred slightly off (success), one
