@@ -1,0 +1,236 @@
+"""Dense, gather-free, batch-native FPFH-33 — the TPU speed-of-light path.
+
+Same descriptor as `pctpu.features.fpfh` (PCL FPFH semantics, the
+registration pipeline's feature stage — `Registration/main.py:44-46`,
+`PCLKeypoints/src/keypoints.cpp:112-163`) but computed WITHOUT any
+neighbor lists: no kNN top_k, no radius_search, no [N,K,C] gathers.
+
+Everything is chunked dense work on the [N,N] pair matrix:
+  * the pair mask is `d2 <= r^2` derived from a tiled distance matmul,
+  * normals come from radius-covariance moments — three [Q,N]x[N,C]
+    matmuls (counts, first and second moments) + the closed-form 3x3
+    eigensolver (`ops.eigh3`),
+  * the Darboux angle features (f1, f2, f3) expand into products of
+    row-broadcast and column-broadcast terms, so each is a handful of
+    [Q,N] VPU ops (never a [Q,N,3] tensor),
+  * histograms are 33 masked reductions over [Q,N],
+  * the second FPFH pass (neighbor-weighted SPFH sum) is one
+    [Q,N]x[N,33] matmul.
+
+Gathers and sorts with batch dimensions lower poorly on TPU (2-3x off
+even with flat-index folding); this formulation replaces them with
+matmul + elementwise work that batches perfectly, which is what the
+batched registration pipeline (`register.pipeline.register_pairs`) needs.
+
+Deviation from the gather path: normals use ALL radius neighbors (PCL
+radius search semantics) instead of k-nearest-30; with `normals` passed
+explicitly the descriptor matches `features.fpfh` to float tolerance
+(tests/test_features.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pctpu.ops.eigh3 import eigh3
+
+N_BINS = 11
+BIG = 1e30
+
+
+def _chunks(n: int, q: int):
+    return (n + q - 1) // q
+
+
+def _pad_rows(x: jax.Array, q: int):
+    n = x.shape[1]
+    pad = (-n) % q
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+    return x
+
+
+@partial(jax.jit, static_argnames=("row_chunk",))
+def normals_radius_dense(points: jax.Array, mask: jax.Array,
+                         radius: float = 4.0,
+                         row_chunk: int = 512) -> jax.Array:
+    """Per-point normals from the covariance of ALL radius neighbors.
+
+    points [B,N,3], mask [B,N] -> [B,N,3] unit normals (least eigenvector
+    of the neighborhood covariance; sign unoriented, same as
+    `ops.normals.estimate_normals`). Pure matmul + eigh3 — no neighbor
+    lists.
+    """
+    b, n, _ = points.shape
+    r2 = jnp.float32(radius) ** 2
+    pts = jnp.where(mask[..., None], points, jnp.float32(0.0))
+    p2 = jnp.sum(pts * pts, axis=-1)                       # [B,N]
+    colpen = jnp.where(mask, 0.0, BIG)                     # [B,N]
+    # second-moment features per db point: [x,y,z, x2,y2,z2, xy,xz,yz, 1]
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    feats = jnp.stack([x, y, z, x * x, y * y, z * z,
+                       x * y, x * z, y * z,
+                       jnp.ones_like(x)], axis=-1)         # [B,N,10]
+
+    qs = _pad_rows(pts, row_chunk)
+    q2s = _pad_rows(p2[..., None], row_chunk)[..., 0]
+    nchunks = qs.shape[1] // row_chunk
+
+    def one_chunk(i):
+        q = jax.lax.dynamic_slice_in_dim(qs, i * row_chunk, row_chunk, 1)
+        q2 = jax.lax.dynamic_slice_in_dim(q2s, i * row_chunk, row_chunk, 1)
+        d2 = (q2[..., None] + p2[:, None, :] + colpen[:, None, :]
+              - 2.0 * jnp.einsum("bqc,bnc->bqn", q, pts))
+        w = (d2 <= r2).astype(jnp.float32)                 # [B,Q,N]
+        return jnp.einsum("bqn,bnf->bqf", w, feats)        # [B,Q,10]
+
+    mom = jax.lax.map(one_chunk, jnp.arange(nchunks))      # [C,B,Q,10]
+    mom = jnp.moveaxis(mom, 0, 1).reshape(b, -1, 10)[:, :n]
+    cnt = jnp.maximum(mom[..., 9], 1.0)
+    mu = mom[..., 0:3] / cnt[..., None]                    # [B,N,3]
+    # C = E[xx^T] - mu mu^T
+    exx = mom[..., 3:9] / cnt[..., None]
+    c00 = exx[..., 0] - mu[..., 0] * mu[..., 0]
+    c11 = exx[..., 1] - mu[..., 1] * mu[..., 1]
+    c22 = exx[..., 2] - mu[..., 2] * mu[..., 2]
+    c01 = exx[..., 3] - mu[..., 0] * mu[..., 1]
+    c02 = exx[..., 4] - mu[..., 0] * mu[..., 2]
+    c12 = exx[..., 5] - mu[..., 1] * mu[..., 2]
+    C = jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c01, c11, c12], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1)], axis=-2)     # [B,N,3,3]
+    _, vecs = eigh3(C)
+    nrm = vecs[..., :, 0]                                  # least eigvec
+    return nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+
+
+@partial(jax.jit, static_argnames=("row_chunk",))
+def fpfh_dense(points: jax.Array,
+               mask: Optional[jax.Array] = None,
+               normals: Optional[jax.Array] = None,
+               radius: float = 10.0,
+               normal_radius: float = 4.0,
+               row_chunk: int = 512) -> jax.Array:
+    """points [B,N,3] (or [N,3]) -> FPFH descriptors [B,N,33] (or [N,33]).
+
+    Defaults mirror the reference registration pipeline: descriptor
+    radius 10 (`main.py:44-46`), normals radius 4 (`main.py:39-40`).
+    """
+    squeeze = points.ndim == 2
+    if squeeze:
+        points = points[None]
+        if mask is not None:
+            mask = mask[None]
+        if normals is not None:
+            normals = normals[None]
+    b, n, _ = points.shape
+    if mask is None:
+        mask = jnp.ones((b, n), bool)
+    if normals is None:
+        normals = normals_radius_dense(points, mask, radius=normal_radius,
+                                       row_chunk=row_chunk)
+
+    r2 = jnp.float32(radius) ** 2
+    pts = jnp.where(mask[..., None], points, jnp.float32(0.0))
+    p2 = jnp.sum(pts * pts, axis=-1)
+    colpen = jnp.where(mask, 0.0, BIG)
+
+    qs = _pad_rows(pts, row_chunk)
+    ns = _pad_rows(normals, row_chunk)
+    q2s = _pad_rows(p2[..., None], row_chunk)[..., 0]
+    nchunks = qs.shape[1] // row_chunk
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+
+    nx, ny, nz = normals[..., 0], normals[..., 1], normals[..., 2]
+
+    def spfh_chunk(i):
+        q = jax.lax.dynamic_slice_in_dim(qs, i * row_chunk, row_chunk, 1)
+        nq = jax.lax.dynamic_slice_in_dim(ns, i * row_chunk, row_chunk, 1)
+        q2 = jax.lax.dynamic_slice_in_dim(q2s, i * row_chunk, row_chunk, 1)
+        row_ids = (i * row_chunk
+                   + jax.lax.broadcasted_iota(jnp.int32,
+                                              (1, row_chunk, 1), 1))
+        cross_qp = jnp.einsum("bqc,bnc->bqn", q, pts)
+        d2 = q2[..., None] + p2[:, None, :] - 2.0 * cross_qp
+        within = ((d2 + colpen[:, None, :] <= r2)
+                  & (row_ids != col_ids))                  # [B,Q,N]
+        wf = within.astype(jnp.float32)
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+
+        # pair displacement components as row/col broadcasts: d = p_col - q_row
+        dx = pts[:, None, :, 0] - q[..., None, 0]          # [B,Q,N]
+        dy = pts[:, None, :, 1] - q[..., None, 1]
+        dz = pts[:, None, :, 2] - q[..., None, 2]
+        inv_d = 1.0 / dist
+        # u = n_row; f2 = u . dhat
+        ux, uy, uz = nq[..., 0, None], nq[..., 1, None], nq[..., 2, None]
+        f2 = (ux * dx + uy * dy + uz * dz) * inv_d
+        # column normals broadcast
+        vx = nx[:, None, :]
+        vy = ny[:, None, :]
+        vz = nz[:, None, :]
+        # g = u x n_col  (components are row-col broadcast products)
+        gx = uy * vz - uz * vy
+        gy = uz * vx - ux * vz
+        gz = ux * vy - uy * vx
+        # s = |dhat x u| = sqrt(1 - f2^2)
+        s = jnp.sqrt(jnp.maximum(1.0 - f2 * f2, 0.0))
+        inv_s = 1.0 / jnp.maximum(s, 1e-12)
+        # f1 = v . n_col = dhat . (u x n_col) / s
+        f1 = (dx * gx + dy * gy + dz * gz) * inv_d * inv_s
+        # f3 = atan2(w . n_col, u . n_col);
+        # w . n_col = (dhat . n_col - f2 (u . n_col)) / s
+        un = ux * vx + uy * vy + uz * vz
+        dn = (dx * vx + dy * vy + dz * vz) * inv_d
+        f3 = jnp.arctan2((dn - f2 * un) * inv_s, un)
+
+        cnt = jnp.maximum(jnp.sum(wf, axis=-1), 1.0)       # [B,Q]
+        scale = 100.0 / cnt
+
+        def hist(f, lo, hi):
+            bin_ = jnp.clip(jnp.floor(
+                (f - lo) / (hi - lo) * N_BINS).astype(jnp.int32),
+                0, N_BINS - 1)
+            cols = []
+            for j in range(N_BINS):
+                cols.append(jnp.sum(wf * (bin_ == j), axis=-1))
+            return jnp.stack(cols, axis=-1) * scale[..., None]  # [B,Q,11]
+
+        h = jnp.concatenate([hist(f1, -1.0, 1.0),
+                             hist(f2, -1.0, 1.0),
+                             hist(f3, -jnp.pi, jnp.pi)], axis=-1)
+        return h                                           # [B,Q,33]
+
+    s33 = jax.lax.map(spfh_chunk, jnp.arange(nchunks))     # [C,B,Q,33]
+    s33 = jnp.moveaxis(s33, 0, 1).reshape(b, -1, 33)[:, :n]
+
+    def fpfh_chunk(i):
+        q = jax.lax.dynamic_slice_in_dim(qs, i * row_chunk, row_chunk, 1)
+        q2 = jax.lax.dynamic_slice_in_dim(q2s, i * row_chunk, row_chunk, 1)
+        row_ids = (i * row_chunk
+                   + jax.lax.broadcasted_iota(jnp.int32,
+                                              (1, row_chunk, 1), 1))
+        d2 = (q2[..., None] + p2[:, None, :]
+              - 2.0 * jnp.einsum("bqc,bnc->bqn", q, pts))
+        within = ((d2 + colpen[:, None, :] <= r2)
+                  & (row_ids != col_ids))
+        wf = within.astype(jnp.float32)
+        wd = wf / jnp.sqrt(jnp.maximum(d2, 1e-12))         # 1/dist weights
+        k_eff = jnp.maximum(jnp.sum(wf, axis=-1), 1.0)     # [B,Q]
+        nbr = jnp.einsum("bqn,bnf->bqf", wd, s33)          # [B,Q,33]
+        return nbr / k_eff[..., None]
+
+    nbr = jax.lax.map(fpfh_chunk, jnp.arange(nchunks))
+    nbr = jnp.moveaxis(nbr, 0, 1).reshape(b, -1, 33)[:, :n]
+    f = s33 + nbr
+
+    blocks = f.reshape(b, n, 3, N_BINS)
+    sums = jnp.maximum(jnp.sum(blocks, axis=-1, keepdims=True), 1e-12)
+    out = (100.0 * blocks / sums).reshape(b, n, 33)
+    out = jnp.where(mask[..., None], out, 0.0)
+    return out[0] if squeeze else out

@@ -16,9 +16,34 @@ import jax
 import jax.numpy as jnp
 
 
+def _flat_row_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather with explicit batch dims folded into the index.
+
+    points [*B, N, C], idx [*B, M] int32 -> [*B, M, C].
+
+    XLA's gather-with-batch-dims lowers poorly on TPU (measured 21 ms for
+    a [16,2048,33] by [16,2048,100] group on v5e vs 8 ms for the same
+    gather with the batch folded into a flat index — tools/probe history,
+    r4). Flattening [*B,N,C] -> [B*N, C] and offsetting the indices by
+    b*N turns it into the fast single-axis row-gather path.
+    """
+    bshape = points.shape[:-2]
+    n, c = points.shape[-2], points.shape[-1]
+    if not bshape:
+        return jnp.take(points, idx, axis=0)
+    b = 1
+    for s in bshape:
+        b *= s
+    flat_p = points.reshape(b * n, c)
+    off = jnp.arange(b, dtype=jnp.int32) * n
+    flat_i = (idx.reshape(b, -1) + off[:, None]).reshape(-1)
+    out = jnp.take(flat_p, flat_i, axis=0)
+    return out.reshape(bshape + idx.shape[len(bshape):] + (c,))
+
+
 def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """points [..., N, C], idx [..., M] -> [..., M, C]."""
-    return jnp.take_along_axis(points, idx[..., None], axis=-2)
+    return _flat_row_gather(points, idx)
 
 
 def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
@@ -26,7 +51,7 @@ def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     b = idx.shape[:-2]
     m, k = idx.shape[-2], idx.shape[-1]
     flat = idx.reshape(b + (m * k,))
-    out = jnp.take_along_axis(points, flat[..., None], axis=-2)
+    out = _flat_row_gather(points, flat)
     return out.reshape(b + (m, k, points.shape[-1]))
 
 

@@ -13,11 +13,12 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from pctpu.core import io
 from pctpu.core.cloud import PointCloud, round_up
 from pctpu.register.pipeline import (RegistrationConfig, register_pair,
-                                     result_row)
+                                     register_pairs, result_row)
 
 
 def load_pair_list(path: str) -> List[Tuple[int, int]]:
@@ -30,8 +31,16 @@ def run_registration_dataset(dataset_dir: str, pair_list_path: str,
                              cfg: RegistrationConfig = RegistrationConfig(),
                              capacity: Optional[int] = None,
                              limit: Optional[int] = None,
+                             batch_size: int = 1,
                              verbose: bool = True) -> dict:
-    """dataset_dir must contain point_clouds/<idx>.bin (oxford 6-float)."""
+    """dataset_dir must contain point_clouds/<idx>.bin (oxford 6-float).
+
+    batch_size > 1 solves pairs through the batched full pipeline
+    (`register_pairs`: batch-native voxel -> dense FPFH -> RANSAC ->
+    multiscale mega ICP, one compiled program per batch shape); a failing
+    batch falls back to per-pair solves so one bad pair cannot take down
+    its batchmates (SURVEY.md §5.3 error isolation).
+    """
     pairs = load_pair_list(pair_list_path)
     if limit:
         pairs = pairs[:limit]
@@ -46,16 +55,13 @@ def run_registration_dataset(dataset_dir: str, pair_list_path: str,
                 sizes.append(os.path.getsize(p) // 24)
         capacity = round_up(int(max(sizes) * 1.1), 4096)
 
-    results, failed = [], []
-    for i, (trg, src) in enumerate(pairs):
+    def load(idx):
+        pts, _ = io.read_oxford_bin(os.path.join(cloud_dir, f"{idx}.bin"))
+        return PointCloud.from_numpy(pts, capacity=capacity)
+
+    def solve_one(i, trg, src, results, failed):
         try:
-            src_pts, _ = io.read_oxford_bin(
-                os.path.join(cloud_dir, f"{src}.bin"))
-            trg_pts, _ = io.read_oxford_bin(
-                os.path.join(cloud_dir, f"{trg}.bin"))
-            src_pc = PointCloud.from_numpy(src_pts, capacity=capacity)
-            trg_pc = PointCloud.from_numpy(trg_pts, capacity=capacity)
-            out = register_pair(src_pc, trg_pc,
+            out = register_pair(load(src), load(trg),
                                 key=jax.random.PRNGKey(i), cfg=cfg)
             results.append(result_row(trg, src, out.T))
             if verbose:
@@ -65,5 +71,38 @@ def run_registration_dataset(dataset_dir: str, pair_list_path: str,
         except Exception as e:  # per-pair isolation
             failed.append((trg, src, repr(e)))
             results.append((trg, src, np.zeros(3), np.array([1., 0, 0, 0])))
+
+    results, failed = [], []
+    if batch_size <= 1:
+        for i, (trg, src) in enumerate(pairs):
+            solve_one(i, trg, src, results, failed)
+    else:
+        for b0 in range(0, len(pairs), batch_size):
+            chunk = pairs[b0:b0 + batch_size]
+            # pad the final batch by repeating its last pair so every
+            # batch reuses one compiled program
+            padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
+            try:
+                srcs = [load(s) for (_, s) in padded]
+                trgs = [load(t) for (t, _) in padded]
+                sbatch = PointCloud(
+                    points=jnp.stack([c.points for c in srcs]),
+                    mask=jnp.stack([c.mask for c in srcs]))
+                tbatch = PointCloud(
+                    points=jnp.stack([c.points for c in trgs]),
+                    mask=jnp.stack([c.mask for c in trgs]))
+                keys = jax.vmap(jax.random.PRNGKey)(
+                    jnp.arange(b0, b0 + batch_size))
+                out = register_pairs(sbatch, tbatch, keys=keys, cfg=cfg)
+                Ts = np.asarray(out.T)
+                for j, (trg, src) in enumerate(chunk):
+                    results.append(result_row(trg, src, Ts[j]))
+                if verbose:
+                    print(f"[{b0+len(chunk)}/{len(pairs)}] batch ok, "
+                          f"min matches="
+                          f"{int(jnp.min(out.num_matches[:len(chunk)]))}")
+            except Exception:  # batch failed: isolate per pair
+                for j, (trg, src) in enumerate(chunk):
+                    solve_one(b0 + j, trg, src, results, failed)
     io.write_reg_results(output_path, results)
     return {"n_pairs": len(pairs), "n_failed": len(failed), "failed": failed}

@@ -55,6 +55,15 @@ class RegistrationConfig:
     icp_backend: str = "auto"
     icp_fixed_coarse: int = 47      # mega schedule: banded-window iters
     icp_fixed_polish: int = 3       # + exact full-window polish iters
+    # batched-path (register_pairs) multiscale ICP schedule: run most
+    # iterations on the ALREADY-COMPUTED voxel clouds (2k pts, exact
+    # windows), then refine on the full clouds with a banded window —
+    # Open3D-style coarse-to-fine, ~4x cheaper than full-res-only
+    normal_radius: float = 4.0      # dense-normals radius (main.py:39-40)
+    icp_voxel_iters: int = 40
+    icp_full_iters: int = 5
+    icp_full_window_blocks: int = 2
+    stats_subsample: int = 4096     # src subsample for inlier/rmse stats
 
 
 class RegistrationOutput(NamedTuple):
@@ -66,6 +75,21 @@ class RegistrationOutput(NamedTuple):
     num_matches: jax.Array
     src_voxels: jax.Array       # pre-cap valid-voxel count (telemetry)
     dst_voxels: jax.Array
+
+
+def _cap_uniform_batch(down: PointCloud, cap: int):
+    """Batched `_cap_uniform`: [B,N] clouds -> [B,cap] via per-batch
+    uniform stride over the compacted valid prefix (flat-offset gather)."""
+    from pctpu.ops.gather import _flat_row_gather
+    b, n, _ = down.points.shape
+    nv = jnp.sum(down.mask, axis=1).astype(jnp.int32)        # [B]
+    if cap >= n:
+        return down, nv
+    i = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    idx = jnp.where(nv[:, None] > cap, (i * nv[:, None]) // cap, i)
+    pts = _flat_row_gather(down.points, idx)
+    msk = _flat_row_gather(down.mask[..., None], idx)[..., 0]
+    return PointCloud(points=pts, mask=msk), nv
 
 
 def _cap_uniform(down: PointCloud, cap: int):
@@ -120,6 +144,26 @@ def _icp_stats(T, src: PointCloud, dst: PointCloud,
     rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d2, 0.0))
                     / jnp.maximum(num.astype(jnp.float32), 1.0))
     return num, rmse
+
+
+def _icp_stats_subsampled(T, src: PointCloud, dst: PointCloud,
+                          cfg: RegistrationConfig):
+    """Inlier fraction + RMSE at the final pose on a uniform source
+    subsample (`stats_subsample` points): telemetry-grade statistics at a
+    fraction of the full exact pass. `num` is scaled back to full-cloud
+    counts."""
+    from pctpu.ops.knn import nearest
+    n = src.points.shape[0]
+    stride = max(1, n // cfg.stats_subsample)
+    q = src.points[::stride][:cfg.stats_subsample]
+    qm = src.mask[::stride][:cfg.stats_subsample]
+    d2, _ = nearest(se3.apply_transform(T, q), dst.points, dst.mask,
+                    cfg.icp_query_chunk, backend="xla")
+    inl = (d2 <= jnp.float32(cfg.icp_dist_thresh) ** 2) & qm
+    num = jnp.sum(inl).astype(jnp.int32)
+    rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d2, 0.0))
+                    / jnp.maximum(num.astype(jnp.float32), 1.0))
+    return num * jnp.int32(stride), rmse
 
 
 def _register_pair_impl(src: PointCloud, dst: PointCloud, key: jax.Array,
@@ -178,27 +222,62 @@ def register_pairs(src: PointCloud, dst: PointCloud,
     b = src.points.shape[0]
     if keys is None:
         keys = jax.random.split(jax.random.PRNGKey(0), b)
-    rr, num_matches, s_nv, d_nv = jax.vmap(
-        lambda s, d, k: _front_end(s, d, k, cfg))(src, dst, keys)
+
+    # ---- batched front end: every stage batch-NATIVE, not vmapped.
+    # Batched sorts/gathers/scatters under vmap are 2-3x off on TPU; the
+    # batch-aware voxel filter (flat segments), the dense gather-free FPFH
+    # (matmul + VPU), and matmul-heavy matching/RANSAC (vmap is fine for
+    # those) recover the lost factor (r4 probe history).
+    from pctpu.features.fpfh_dense import fpfh_dense
+    from pctpu.ops.gather import gather_points
+    from pctpu.ops.voxel import voxel_downsample_batch
+
+    def preprocess(pc: PointCloud):
+        down = voxel_downsample_batch(pc.points, pc.mask, cfg.voxel_size)
+        down, nv = _cap_uniform_batch(down, cfg.downsample_capacity)
+        feats = fpfh_dense(down.points, mask=down.mask,
+                           radius=cfg.feature_radius,
+                           normal_radius=cfg.normal_radius)
+        return down, feats, nv
+
+    sdown, sfeat, s_nv = preprocess(src)
+    ddown, dfeat, d_nv = preprocess(dst)
+    matches = jax.vmap(
+        lambda a, c, ma, mb: match_features(a, c, src_mask=ma, dst_mask=mb,
+                                            mutual=True))(
+        sfeat, dfeat, sdown.mask, ddown.mask)
+    dst_kp = gather_points(ddown.points, matches.dst_idx)
+    rr = jax.vmap(
+        lambda s, d, v, k: ransac_registration(
+            s, d, corr_valid=v, key=k, dist_thresh=cfg.ransac_dist,
+            num_hypotheses=cfg.ransac_hypotheses))(
+        sdown.points, dst_kp, matches.valid, keys)
+    num_matches = jnp.sum(matches.valid, axis=1).astype(jnp.int32)
 
     backend = cfg.icp_backend
     if backend == "auto":
         backend = "mega" if jax.default_backend() == "tpu" else "while"
     if backend == "mega":
-        # the explicitly-batched mega kernel: per-pair BlockSpec blocking
-        # keeps VMEM at one pair's working set for any B (jax.vmap of the
-        # single-pair kernel loads the whole batch into VMEM and OOMs)
+        # multiscale refine: most iterations on the already-computed 2k
+        # voxel clouds (exact windows), then a banded full-resolution
+        # polish — the explicitly-batched mega kernel keeps VMEM at one
+        # pair's working set for any B
         from pctpu.register.icp import icp_fixed_iters_banded_mega_batch
         T = icp_fixed_iters_banded_mega_batch(
-            src.points, src.mask, dst.points, dst.mask, init_T=rr.T,
-            coarse_iters=cfg.icp_fixed_coarse,
-            polish_iters=cfg.icp_fixed_polish,
-            dist_thresh=cfg.icp_dist_thresh, block=1024,
-            window_blocks=1, query_tile=1024)
+            sdown.points, sdown.mask, ddown.points, ddown.mask,
+            init_T=rr.T, coarse_iters=cfg.icp_voxel_iters, polish_iters=0,
+            dist_thresh=cfg.icp_dist_thresh, block=512,
+            window_blocks=4, query_tile=512)
+        if cfg.icp_full_iters > 0:
+            T = icp_fixed_iters_banded_mega_batch(
+                src.points, src.mask, dst.points, dst.mask, init_T=T,
+                coarse_iters=cfg.icp_full_iters, polish_iters=0,
+                dist_thresh=cfg.icp_dist_thresh, block=1024,
+                window_blocks=cfg.icp_full_window_blocks, query_tile=1024)
         num, rmse = jax.vmap(
-            lambda t, s, d: _icp_stats(t, s, d, cfg, backend="xla"))(
+            lambda t, s, d: _icp_stats_subsampled(t, s, d, cfg))(
                 T, src, dst)
-        iters = jnp.full((b,), cfg.icp_fixed_coarse + cfg.icp_fixed_polish,
+        iters = jnp.full((b,), cfg.icp_voxel_iters + cfg.icp_full_iters,
                          jnp.int32)
         return RegistrationOutput(T, rr.T, rr.fitness, iters, rmse,
                                   num_matches, s_nv, d_nv)

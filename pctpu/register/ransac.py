@@ -78,11 +78,17 @@ def ransac_registration(src_pts: jax.Array, dst_pts: jax.Array,
     valid_f = corr_valid.astype(jnp.float32)
     n_valid = jnp.maximum(jnp.sum(valid_f), 1.0)
 
-    # Sample 3 correspondence indices per hypothesis, biased to valid rows
-    # (invalid rows get probability ~0 via gumbel trick on the mask).
-    logits = jnp.where(corr_valid, 0.0, -1e9)
-    g = jax.random.gumbel(key, (num_hypotheses, m)) + logits[None, :]
-    _, samples = jax.lax.top_k(g, 3)                      # [H,3] distinct rows
+    # Sample 3 correspondence indices per hypothesis from the VALID rows:
+    # compact the valid indices to the front (one stable argsort of the
+    # mask) and draw uniform positions below the valid count. A gumbel
+    # top-3 over [H, M] noise did the same job with guaranteed
+    # distinctness, but its top_k was ~8 ms/pair on TPU; occasional
+    # duplicate draws here are caught by the degenerate-triad check.
+    order = jnp.argsort(jnp.where(corr_valid, 0, 1),
+                        stable=True).astype(jnp.int32)
+    nv_i = jnp.maximum(jnp.sum(corr_valid.astype(jnp.int32)), 1)
+    u = jax.random.randint(key, (num_hypotheses, 3), 0, nv_i)
+    samples = order[u]                                    # [H,3] valid rows
 
     s = src_pts[samples]                                   # [H,3,3]
     d = dst_pts[samples]

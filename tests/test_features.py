@@ -447,3 +447,56 @@ def test_shot_matches_numpy_oracle(rng):
     close = np.abs(ours - oracle) < 0.05
     assert close.mean() > 0.97, (close.mean(), np.abs(ours - oracle).max())
     assert np.median(np.abs(ours - oracle)) < 1e-3
+
+
+def test_fpfh_dense_matches_gather_fpfh(rng):
+    """The dense gather-free FPFH == the neighbor-list FPFH to float
+    tolerance when fed the same normals and the k-cap does not truncate
+    (r4: the batched pipeline's feature stage)."""
+    from pctpu.features.fpfh import fpfh
+    from pctpu.features.fpfh_dense import fpfh_dense
+    from pctpu.ops.normals import estimate_normals
+
+    n = 192
+    pts = jnp.asarray(rng.uniform(-5, 5, (n, 3)).astype(np.float32))
+    mask = jnp.asarray(np.arange(n) < n - 16)   # some padding rows
+    nrm = estimate_normals(pts, mask=mask, k=12)
+    radius = 3.0
+
+    ref = np.asarray(fpfh(pts, mask=mask, normals=nrm, radius=radius,
+                          k_cap=n))
+    dense = np.asarray(fpfh_dense(pts, mask=mask, normals=nrm,
+                                  radius=radius, row_chunk=64))
+    m = np.asarray(mask)
+    np.testing.assert_allclose(dense[m], ref[m], atol=2e-2, rtol=1e-4)
+
+
+def test_fpfh_dense_batched_consistent(rng):
+    """Batched [B,N,3] output row b == single-cloud output on cloud b."""
+    from pctpu.features.fpfh_dense import fpfh_dense
+
+    b, n = 3, 128
+    pts = jnp.asarray(rng.uniform(-5, 5, (b, n, 3)).astype(np.float32))
+    mask = jnp.ones((b, n), bool)
+    batched = np.asarray(fpfh_dense(pts, mask=mask, radius=3.0,
+                                    row_chunk=64))
+    for i in range(b):
+        one = np.asarray(fpfh_dense(pts[i], mask=mask[i], radius=3.0,
+                                    row_chunk=64))
+        np.testing.assert_allclose(batched[i], one, atol=1e-3)
+
+
+def test_normals_radius_dense_plane(rng):
+    """Dense radius-covariance normals recover the plane normal."""
+    from pctpu.features.fpfh_dense import normals_radius_dense
+
+    n = 256
+    pts = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    pts[:, 2] = 0.05 * pts[:, 0] + 0.1 * pts[:, 1]  # plane z = .05x + .1y
+    true_n = np.array([-0.05, -0.1, 1.0])
+    true_n /= np.linalg.norm(true_n)
+    nrm = np.asarray(normals_radius_dense(
+        jnp.asarray(pts)[None], jnp.ones((1, n), bool), radius=2.0,
+        row_chunk=64))[0]
+    dots = np.abs(nrm @ true_n)
+    assert np.min(dots) > 0.999, float(np.min(dots))

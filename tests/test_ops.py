@@ -296,3 +296,34 @@ def test_pca_project(rng):
     assert proj.shape == (300, 2)
     # first projected axis carries the largest variance
     assert proj[:, 0].var() > proj[:, 1].var() > data[:, 2].var()
+
+
+def test_group_points_batched_matches_vmap(rng):
+    """Explicit batch dims (flat-offset gather) == vmap of the single op."""
+    from pctpu.ops.gather import gather_points, group_points
+    b, n, m, k, c = 4, 64, 32, 8, 5
+    pts = jnp.asarray(rng.uniform(size=(b, n, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, size=(b, m, k)).astype(np.int32))
+    out = np.asarray(group_points(pts, idx))
+    ref = np.asarray(jax.vmap(lambda p, i: group_points(p, i))(pts, idx))
+    np.testing.assert_array_equal(out, ref)
+    i1 = idx[:, :, 0]
+    out1 = np.asarray(gather_points(pts, i1))
+    ref1 = np.asarray(jax.vmap(lambda p, i: gather_points(p, i))(pts, i1))
+    np.testing.assert_array_equal(out1, ref1)
+
+
+def test_voxel_downsample_batch_matches_single(rng):
+    """voxel_downsample_batch row b == voxel_downsample on cloud b."""
+    from pctpu.ops.voxel import voxel_downsample, voxel_downsample_batch
+    b, n = 3, 512
+    pts = jnp.asarray(rng.uniform(-10, 10, (b, n, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(b, n)) < 0.9)
+    out = voxel_downsample_batch(pts, mask, 1.5)
+    for i in range(b):
+        ref = voxel_downsample(pts[i], mask[i], 1.5)
+        np.testing.assert_array_equal(np.asarray(out.mask[i]),
+                                      np.asarray(ref.mask))
+        mv = np.asarray(ref.mask)
+        np.testing.assert_allclose(np.asarray(out.points[i])[mv],
+                                   np.asarray(ref.points)[mv], atol=1e-5)

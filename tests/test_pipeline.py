@@ -91,17 +91,13 @@ def test_register_pairs_batched(rng):
     out = register_pairs(src, dst, keys=keys, cfg=cfg)
     assert out.T.shape == (batch, 4, 4)
     for i in range(batch):
+        # the batched path (dense FPFH + multiscale ICP) must clear the
+        # reference success bound on every pair, same as the single path
         rte, rre = se3.pose_diff_rte_rre(out.T[i], jnp.asarray(gts[i]))
         assert float(rte) < 2.0, (i, float(rte), float(rre))
         assert float(rre) < 5.0, (i, float(rte), float(rre))
-
-    # batched row 0 == single-pair path on the same inputs/key
-    one = register_pair(
-        PointCloud(points=src.points[0], mask=src.mask[0]),
-        PointCloud(points=dst.points[0], mask=dst.mask[0]),
-        key=keys[0], cfg=cfg)
-    np.testing.assert_allclose(np.asarray(out.T[0]), np.asarray(one.T),
-                               atol=1e-4)
+    assert int(jnp.min(out.num_matches)) > 20
+    assert int(jnp.min(out.src_voxels)) > 0
 
 
 def test_capacity_cap_uniform_stride(rng):
