@@ -169,11 +169,48 @@ def _bg_bwd(radius, nsample, tile, sub_xyz, interpret, res, ct):
 ball_group_pallas.defvjp(_bg_fwd, _bg_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def ball_group_pallas_batched(centers: jax.Array, packed: jax.Array,
                               radius: float, nsample: int,
                               tile: int = 128, sub_xyz: bool = True,
                               interpret: bool = False):
-    """[B,M,3] x [B,N,3+C] -> [B,M,nsample,3+C]."""
-    f = partial(ball_group_pallas, radius=radius, nsample=nsample,
-                tile=tile, sub_xyz=sub_xyz, interpret=interpret)
-    return jax.vmap(f)(centers, packed)
+    """[B,M,3] x [B,N,3+C] -> [B,M,nsample,3+C].
+
+    Has its OWN custom VJP (rather than vmapping the single-cloud one):
+    the backward folds the batch into the segment ids and runs ONE flat
+    deterministic segment-sum — a scatter-add with a leading batch dim
+    lowers poorly on TPU, the flat single-axis scatter is the fast path
+    (same finding as `ops.gather._flat_row_gather`). This is the
+    deterministic counterpart of the reference's atomicAdd grad
+    (`group_points_gpu.cu:43-64`)."""
+    grouped, _ = jax.vmap(
+        lambda c, p: _ball_group_fwd_impl(c, p, None, radius, nsample,
+                                          tile, sub_xyz, interpret)
+    )(centers, packed)
+    return grouped
+
+
+def _bgb_fwd(centers, packed, radius, nsample, tile, sub_xyz, interpret):
+    grouped, idx = jax.vmap(
+        lambda c, p: _ball_group_fwd_impl(c, p, None, radius, nsample,
+                                          tile, sub_xyz, interpret)
+    )(centers, packed)
+    return grouped, (idx, packed.shape[1])
+
+
+def _bgb_bwd(radius, nsample, tile, sub_xyz, interpret, res, ct):
+    idx, n = res                                  # idx [B, M, K]
+    b, m, k, cp = ct.shape
+    flat_ct = ct.reshape(b * m * k, cp)
+    off = jnp.arange(b, dtype=jnp.int32) * n
+    flat_idx = (idx.reshape(b, m * k) + off[:, None]).reshape(-1)
+    d_packed = jax.ops.segment_sum(
+        flat_ct, flat_idx, num_segments=b * n).reshape(b, n, cp)
+    if sub_xyz:
+        d_centers = -jnp.sum(ct[..., :3], axis=2)
+    else:
+        d_centers = jnp.zeros((b, m, 3), ct.dtype)
+    return d_centers, d_packed
+
+
+ball_group_pallas_batched.defvjp(_bgb_fwd, _bgb_bwd)

@@ -36,7 +36,11 @@ class RegistrationConfig:
     feature_radius: float = 10.0    # 5 * voxel_size
     feature_k_cap: int = 100        # max_nn 100
     ransac_dist: float = 4.0        # 1.5 * voxel? o3d uses voxel*1.5; ref 4.0
-    ransac_hypotheses: int = 8192
+    # 4096 batched lottery tickets; at mutual-NN inlier ratios (>=0.2)
+    # the 0.999-confidence requirement is ~900 draws (see
+    # ransac_registration_adaptive), so this is ~4x margin at half the
+    # scoring cost of the earlier 8192
+    ransac_hypotheses: int = 4096
     icp_dist_thresh: float = 5.0
     icp_max_iters: int = 100
     icp_query_chunk: int = 2048
@@ -57,12 +61,14 @@ class RegistrationConfig:
     icp_fixed_polish: int = 3       # + exact full-window polish iters
     # batched-path (register_pairs) multiscale ICP schedule: run most
     # iterations on the ALREADY-COMPUTED voxel clouds (2k pts, exact
-    # windows), then refine on the full clouds with a banded window —
-    # Open3D-style coarse-to-fine, ~4x cheaper than full-res-only
+    # windows), then a couple of EXACT refine iterations of a strided
+    # full-res source subsample against the full target — Open3D-style
+    # coarse-to-fine. (A banded full-res stage was tried and its cost was
+    # ~90% layout prep — batched argsort + gathers — not iterations.)
     normal_radius: float = 4.0      # dense-normals radius (main.py:39-40)
     icp_voxel_iters: int = 40
-    icp_full_iters: int = 5
-    icp_full_window_blocks: int = 2
+    icp_refine_iters: int = 2
+    refine_subsample: int = 4096
     stats_subsample: int = 4096     # src subsample for inlier/rmse stats
 
 
@@ -144,6 +150,36 @@ def _icp_stats(T, src: PointCloud, dst: PointCloud,
     rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d2, 0.0))
                     / jnp.maximum(num.astype(jnp.float32), 1.0))
     return num, rmse
+
+
+def _refine_exact_batch(T, src: PointCloud, dst: PointCloud,
+                        cfg: RegistrationConfig):
+    """Batched exact point-to-point refine: `icp_refine_iters` iterations
+    of a strided full-res source subsample against the FULL target via
+    brute 1-NN (batched matmuls, no sort/layout prep) + weighted
+    Procrustes. The cheap way to move a voxel-converged pose the last
+    millimeters."""
+    from pctpu.ops.gather import gather_points
+    from pctpu.ops.pairwise import chunked_min_argmin
+    from pctpu.register.procrustes import weighted_procrustes
+    n = src.points.shape[1]
+    stride = max(1, n // cfg.refine_subsample)
+    q = src.points[:, ::stride][:, :cfg.refine_subsample]
+    qm = src.mask[:, ::stride][:, :cfg.refine_subsample]
+    thresh2 = jnp.float32(cfg.icp_dist_thresh) ** 2
+
+    for _ in range(cfg.icp_refine_iters):
+        qt = jnp.einsum("bij,bnj->bni", T[:, :3, :3], q) + T[:, None, :3, 3]
+        d2, idx = jax.vmap(
+            lambda a, d, m: chunked_min_argmin(a, d, m, 2048))(
+                qt, dst.points, dst.mask)
+        w = (qm & (d2 < thresh2)).astype(jnp.float32)
+        matched = gather_points(dst.points, idx)
+        R, t = jax.vmap(weighted_procrustes)(qt, matched, w)
+        dT = jnp.tile(jnp.eye(4, dtype=jnp.float32), (T.shape[0], 1, 1))
+        dT = dT.at[:, :3, :3].set(R).at[:, :3, 3].set(t)
+        T = dT @ T
+    return T
 
 
 def _icp_stats_subsampled(T, src: PointCloud, dst: PointCloud,
@@ -266,18 +302,14 @@ def register_pairs(src: PointCloud, dst: PointCloud,
         T = icp_fixed_iters_banded_mega_batch(
             sdown.points, sdown.mask, ddown.points, ddown.mask,
             init_T=rr.T, coarse_iters=cfg.icp_voxel_iters, polish_iters=0,
-            dist_thresh=cfg.icp_dist_thresh, block=512,
-            window_blocks=4, query_tile=512)
-        if cfg.icp_full_iters > 0:
-            T = icp_fixed_iters_banded_mega_batch(
-                src.points, src.mask, dst.points, dst.mask, init_T=T,
-                coarse_iters=cfg.icp_full_iters, polish_iters=0,
-                dist_thresh=cfg.icp_dist_thresh, block=1024,
-                window_blocks=cfg.icp_full_window_blocks, query_tile=1024)
+            dist_thresh=cfg.icp_dist_thresh, block=2048,
+            window_blocks=1, query_tile=2048)
+        if cfg.icp_refine_iters > 0:
+            T = _refine_exact_batch(T, src, dst, cfg)
         num, rmse = jax.vmap(
             lambda t, s, d: _icp_stats_subsampled(t, s, d, cfg))(
                 T, src, dst)
-        iters = jnp.full((b,), cfg.icp_voxel_iters + cfg.icp_full_iters,
+        iters = jnp.full((b,), cfg.icp_voxel_iters + cfg.icp_refine_iters,
                          jnp.int32)
         return RegistrationOutput(T, rr.T, rr.fitness, iters, rmse,
                                   num_matches, s_nv, d_nv)

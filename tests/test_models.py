@@ -167,3 +167,89 @@ def test_cls_bf16_compute_smoke():
     labels = jnp.asarray(np.random.default_rng(0).integers(0, 10, size=(2,)))
     losses = run_smoke(cfg, (2, CLS_N, 6), labels)
     assert all(np.isfinite(l) for l in losses)
+
+
+def _make_room_scene(rng, n=1024):
+    """Synthetic indoor scene with 3 geometric classes: 0=floor, 1=wall,
+    2=prop boxes. Returns (pc [N,9] = xyz+rgb+normalized-xyz — the S3DIS
+    input layout — and labels [N])."""
+    n_floor, n_wall = n // 2, n // 4
+    n_prop = n - n_floor - n_wall
+    floor = np.stack([rng.uniform(0, 8, n_floor),
+                      rng.uniform(0, 8, n_floor),
+                      rng.normal(scale=0.02, size=n_floor)], axis=1)
+    # two walls: x=0 and y=8 planes
+    w1 = n_wall // 2
+    wall = np.concatenate([
+        np.stack([rng.normal(scale=0.02, size=w1),
+                  rng.uniform(0, 8, w1),
+                  rng.uniform(0, 3, w1)], axis=1),
+        np.stack([rng.uniform(0, 8, n_wall - w1),
+                  np.full(n_wall - w1, 8.0) + rng.normal(
+                      scale=0.02, size=n_wall - w1),
+                  rng.uniform(0, 3, n_wall - w1)], axis=1)])
+    # prop boxes on the floor
+    props = []
+    per = n_prop // 4
+    for i in range(4):
+        c = rng.uniform(1.5, 6.5, 2)
+        s = rng.uniform(0.3, 0.8, 3)
+        m = per if i < 3 else n_prop - 3 * per
+        box = rng.uniform(-1, 1, (m, 3)) * s
+        box[:, 2] = np.abs(box[:, 2]) + 0.02
+        box[:, :2] += c
+        props.append(box)
+    pts = np.concatenate([floor, wall] + props).astype(np.float32)
+    labels = np.concatenate([
+        np.zeros(n_floor), np.ones(n_wall),
+        np.full(n_prop, 2.0)]).astype(np.int32)
+    perm = rng.permutation(n)
+    pts, labels = pts[perm], labels[perm]
+    rgb = np.full((n, 3), 0.5, np.float32)
+    norm_xyz = (pts / np.array([8.0, 8.0, 3.0])).astype(np.float32)
+    return np.concatenate([pts, rgb, norm_xyz], axis=1), labels
+
+
+@pytest.mark.slow
+def test_semseg_learns_segmentation():
+    """Task-level semseg outcome (VERDICT r3 item 7): a few epochs on
+    synthetic rooms must reach mIoU >= 0.55 on held-out scenes — the
+    capability `pointnet2_ssg_sem.py:65-90` + Indoor3DSemSegLoader
+    represent, closed at the metric level."""
+    rng = np.random.default_rng(0)
+    n, n_train, n_val = 1024, 12, 4
+    scenes = [_make_room_scene(rng, n) for _ in range(n_train + n_val)]
+    pcs = np.stack([s[0] for s in scenes])
+    lbs = np.stack([s[1] for s in scenes])
+    train_pc, train_lb = pcs[:n_train], lbs[:n_train]
+    val_pc, val_lb = pcs[n_train:], lbs[n_train:]
+
+    cfg = TrainConfig(model="semseg-ssg", num_classes=3, num_points=n,
+                      batch_size=4, lr=3e-3, decay_step=1e9)
+    key = jax.random.PRNGKey(0)
+    model, state = T.create_train_state(cfg, key, jnp.asarray(train_pc[:4]))
+    step = jax.jit(T.make_train_step(model, cfg))
+    eval_step = jax.jit(T.make_eval_step(model))
+
+    epochs = 8
+    for e in range(epochs):
+        order = np.random.default_rng(e).permutation(n_train)
+        for b0 in range(0, n_train, cfg.batch_size):
+            sel = order[b0:b0 + cfg.batch_size]
+            state, metrics = step(state, jnp.asarray(train_pc[sel]),
+                                  jnp.asarray(train_lb[sel]),
+                                  jax.random.fold_in(key, e * 100 + b0))
+
+    # held-out mIoU
+    inter = np.zeros(3)
+    union = np.zeros(3)
+    for i in range(0, n_val, cfg.batch_size):
+        out = eval_step(state, jnp.asarray(val_pc[i:i + 4]),
+                        jnp.asarray(val_lb[i:i + 4]))
+        pred = np.asarray(jnp.argmax(out["logits"], axis=-1))
+        gt = val_lb[i:i + 4]
+        for c in range(3):
+            inter[c] += np.sum((pred == c) & (gt == c))
+            union[c] += np.sum((pred == c) | (gt == c))
+    miou = float(np.mean(inter / np.maximum(union, 1)))
+    assert miou >= 0.55, (miou, inter / np.maximum(union, 1))
