@@ -133,14 +133,16 @@ def test_shot352_shape_and_invariance(rng):
 
 
 def test_sift3d_finds_density_structure(rng):
-    # a dense blob inside a sparse background: the blob is a density extremum
+    # a dense blob inside a sparse background: the blob is a density
+    # extremum (field='density' mode)
     bg = rng.uniform(-2, 2, size=(600, 3)).astype(np.float32)
     blob = (rng.normal(scale=0.05, size=(200, 3)) +
             np.array([1.0, 1.0, 0.0])).astype(np.float32)
     pts = np.concatenate([bg, blob])
     res = features.sift3d_keypoints(jnp.asarray(pts), min_scale=0.1,
                                     n_octaves=2, scales_per_octave=2,
-                                    min_contrast=0.5, k_cap=96)
+                                    min_contrast=0.5, k_cap=96,
+                                    field="density")
     keep = np.asarray(res.keypoint_mask)
     assert keep.sum() >= 1
     kp = pts[keep]
@@ -149,15 +151,82 @@ def test_sift3d_finds_density_structure(rng):
     assert d.min() < 0.5
 
 
-def test_harris6d(rng):
+def test_sift3d_y_field_scale_selection(rng):
+    """PCL-parity semantics (keypoints.hpp:167-178: the scale-space field
+    of a bare-XYZ cloud is the y coordinate): a Gaussian y-bump of width
+    sigma=0.3 on a flat sheet is detected, the strongest keypoint sits at
+    the bump center, and its selected scale matches the bump width."""
+    g = rng.uniform(-3, 3, (3000, 2)).astype(np.float32)
+    y = 1.0 * np.exp(-((g[:, 0] - 0.5) ** 2 + (g[:, 1] + 0.4) ** 2)
+                     / (2 * 0.3 ** 2))
+    plane = np.stack([g[:, 0], y, g[:, 1]], axis=1).astype(np.float32)
+    res = features.sift3d_keypoints(jnp.asarray(plane), min_scale=0.1,
+                                    n_octaves=3, scales_per_octave=3,
+                                    min_contrast=0.02, k_cap=96)
+    keep = np.asarray(res.keypoint_mask)
+    assert keep.sum() >= 1
+    kp = plane[keep]
+    resp = np.asarray(res.response)[keep]
+    best = np.argmax(resp)
+    d = np.sqrt((kp[best, 0] - 0.5) ** 2 + (kp[best, 2] + 0.4) ** 2)
+    assert d < 0.3, d
+    sc = float(np.asarray(res.scale)[keep][best])
+    assert 0.15 < sc < 0.6, sc
+
+
+def test_harris6d_tomasi_coupling(rng):
+    """True Harris6D (PCL HarrisKeypoint6D semantics, keypoints.cpp:64-84):
+    the response is lambda_min of the 6x6 second moment of
+    [normal; unit tangent intensity gradient] — it fires only where BOTH
+    the geometric and photometric subspaces vary. A geometric corner with
+    uniform intensity and an intensity edge on a flat plane must both
+    score ~0; a textured geometric corner scores high."""
     pts = make_box_cloud(rng)
-    # intensity with a sharp spatial edge adds appearance corners
-    intensity = (pts[:, 0] > 0).astype(np.float32)
-    res = features.harris6d_keypoints(jnp.asarray(pts),
-                                      jnp.asarray(intensity),
-                                      radius=0.4, threshold=1e-5, k_cap=96)
-    assert np.all(np.isfinite(np.asarray(res.response)))
-    assert np.asarray(res.keypoint_mask).sum() >= 1
+
+    # (a) uniform intensity: gradients vanish -> response ~ 0 everywhere
+    flat_i = jnp.ones((pts.shape[0],), jnp.float32)
+    r_uni = features.harris6d_keypoints(jnp.asarray(pts), flat_i,
+                                        radius=0.4, k_cap=96)
+    assert float(jnp.max(r_uni.response)) < 1e-4
+
+    # (b) textured box: checkerboard intensity -> corners respond
+    tex_i = jnp.asarray((np.floor(pts[:, 0] * 5) + np.floor(pts[:, 1] * 5)
+                         + np.floor(pts[:, 2] * 5)) % 2).astype(jnp.float32)
+    r_tex = features.harris6d_keypoints(jnp.asarray(pts), tex_i,
+                                        radius=0.4, threshold=1e-4,
+                                        k_cap=96)
+    assert np.all(np.isfinite(np.asarray(r_tex.response)))
+    assert float(jnp.max(r_tex.response)) > 1e-3
+    assert np.asarray(r_tex.keypoint_mask).sum() >= 1
+
+    # (c) intensity edge on a FLAT plane: normal subspace is rank-1 ->
+    # lambda_min ~ 0 despite strong gradients
+    plane = rng.uniform(-2, 2, (1500, 3)).astype(np.float32)
+    plane[:, 2] = rng.normal(scale=0.005, size=1500)
+    edge_i = jnp.asarray((plane[:, 0] > 0).astype(np.float32))
+    r_pl = features.harris6d_keypoints(jnp.asarray(plane), edge_i,
+                                       radius=0.4, k_cap=96)
+    assert float(jnp.max(r_pl.response)) < 1e-4
+
+
+def test_intensity_gradients_tangent(rng):
+    """LS intensity gradient on a plane with I = 2x + 3y recovers (2,3,0)
+    and is orthogonal to the surface normal (tangent projection)."""
+    plane = rng.uniform(-2, 2, (2000, 3)).astype(np.float32)
+    plane[:, 2] = 0.0
+    inten = jnp.asarray(2.0 * plane[:, 0] + 3.0 * plane[:, 1])
+    from pctpu.ops.normals import estimate_normals
+    pts = jnp.asarray(plane)
+    nrm = estimate_normals(pts, k=12)
+    g = np.asarray(features.intensity_gradients(pts, inten, nrm,
+                                                radius=0.5, k_cap=64))
+    # interior points (away from the boundary where the LS stencil is
+    # one-sided)
+    interior = np.all(np.abs(plane[:, :2]) < 1.5, axis=1)
+    np.testing.assert_allclose(g[interior, 0], 2.0, atol=0.1)
+    np.testing.assert_allclose(g[interior, 1], 3.0, atol=0.1)
+    dots = np.abs(np.sum(g * np.asarray(nrm), axis=1))
+    assert float(dots.max()) < 1e-3
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +275,9 @@ def test_sift_wachtberg_golden(wachtberg):
                                     n_octaves=3, scales_per_octave=4,
                                     min_contrast=0.01, k_cap=96)
     count = int(np.asarray(res.keypoint_mask).sum())
-    assert 843 <= count <= 1043, f"SIFT keypoint count drifted: {count} (golden 943)"
+    # golden re-recorded 2026-08-21 after the PCL-faithful rewrite
+    # (y-field scale space + strict 25-NN/scale extremum test)
+    assert 585 <= count <= 685, f"SIFT keypoint count drifted: {count} (golden 635)"
 
 
 @needs_scan
