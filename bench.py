@@ -33,6 +33,12 @@ import time
 
 import numpy as np
 
+# persistent XLA compile cache: repeated bench runs skip the (minutes-long
+# over the axon tunnel) kernel compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jaxcache"))
+
 REFERENCE_BIN = "/root/reference/Kdtree_Octree/000000.bin"
 N_POINTS = 16384
 ICP_ITERS = 50
@@ -50,6 +56,8 @@ PAIR_POINTS = 4096
 PAIR_ITERS = 30
 
 FULL_PAIR_ROT_DEG = 35.0   # outside the ICP basin: needs the RANSAC init
+FULL_PAIR_BATCH = 16
+ODO_FRAMES = 24
 
 
 def _perturb(pts, rng, rotvec, trans, noise=0.01):
@@ -190,41 +198,102 @@ def bench_pairs():
 
 
 def bench_full_pipeline():
-    """FULL per-pair workload (the reference's actual pipeline,
+    """FULL pipeline workload (the reference's actual per-pair chain,
     `Registration/main.py:33-84,183-222`): voxel 2.0 m downsample -> normals
-    -> FPFH -> mutual-NN matching -> RANSAC global init -> ICP refine — on a
-    35-degree pair, far outside the ICP convergence basin, gated on the
-    reference bound. Returns (pairs/s, rte, rre)."""
+    -> FPFH -> mutual-NN matching -> RANSAC global init -> multiscale ICP
+    refine — a BATCH of 35-degree pairs (far outside the ICP convergence
+    basin) through the batch-native `register_pairs` program, every pair
+    gated on the reference bound. The reference loops its 342 pairs one at
+    a time (`main.py:190`); pair batching is the honest throughput
+    comparison for that sweep. Returns (pairs/s, worst_rte, worst_rre)."""
     import jax
-    import jax.numpy as jnp  # noqa: F401
+    import jax.numpy as jnp
     from pctpu.core.cloud import PointCloud
-    from pctpu.register.pipeline import RegistrationConfig, register_pair
+    from pctpu.register.pipeline import RegistrationConfig, register_pairs
 
     pts = _load_scan()
     rng = np.random.default_rng(2)
-    sel = rng.choice(pts.shape[0], N_POINTS, replace=False)
-    src = pts[sel]
-    rotvec = np.array([0.05, -0.03, np.radians(FULL_PAIR_ROT_DEG)])
-    dst, T_gt = _perturb(src, rng, rotvec, [3.0, -2.0, 0.5], noise=0.02)
-    sp, dp = PointCloud.from_numpy(src), PointCloud.from_numpy(dst)
+    srcs, dsts, gts = [], [], []
+    for _ in range(FULL_PAIR_BATCH):
+        sel = rng.choice(pts.shape[0], N_POINTS, replace=False)
+        src = pts[sel]
+        rotvec = np.array([0.05, -0.03, np.radians(FULL_PAIR_ROT_DEG)])
+        dst, T_gt = _perturb(src, rng, rotvec, [3.0, -2.0, 0.5], noise=0.02)
+        srcs.append(src)
+        dsts.append(dst)
+        gts.append(T_gt)
+    sp = PointCloud(points=jnp.asarray(np.stack(srcs)),
+                    mask=jnp.ones((FULL_PAIR_BATCH, N_POINTS), bool))
+    dp = PointCloud(points=jnp.asarray(np.stack(dsts)),
+                    mask=jnp.ones((FULL_PAIR_BATCH, N_POINTS), bool))
     cfg = RegistrationConfig()
-
-    def run(k):
-        return register_pair(sp, dp, key=jax.random.PRNGKey(k), cfg=cfg).T
-
-    T = np.asarray(run(0))  # compile + warmup
-    rte, rre = rte_rre(T, T_gt)
-    assert rte < RTE_BOUND and rre < RRE_BOUND, (
-        f"full pipeline fails the reference success bound: RTE={rte:.3f} "
-        f"(<{RTE_BOUND}), RRE={rre:.3f} (<{RRE_BOUND})")
     ctr = [0]
 
-    def run_next():
+    def run():
         ctr[0] += 1
-        return run(ctr[0])
+        keys = jax.random.split(jax.random.PRNGKey(ctr[0]), FULL_PAIR_BATCH)
+        return register_pairs(sp, dp, keys=keys, cfg=cfg).T
 
-    dt = _slope_time(run_next, k_lo=1, k_hi=5, trials=2)
-    return 1.0 / dt, rte, rre
+    Ts = np.asarray(run())  # compile + warmup
+    worst = (0.0, 0.0)
+    for i in range(FULL_PAIR_BATCH):
+        rte, rre = rte_rre(Ts[i], gts[i])
+        assert rte < RTE_BOUND and rre < RRE_BOUND, (
+            f"full pipeline pair {i} fails the reference success bound: "
+            f"RTE={rte:.3f} (<{RTE_BOUND}), RRE={rre:.3f} (<{RRE_BOUND})")
+        worst = max(worst, (rte, rre))
+    dt = _slope_time(run, k_lo=1, k_hi=5, trials=2)
+    return FULL_PAIR_BATCH / dt, worst[0], worst[1]
+
+
+def bench_odometry():
+    """Closed SLAM loop on a synthetic circular drive: scan-to-scan mega
+    front end + keyframe loop closures + pose-graph optimization
+    (`pipelines.odometry.run_odometry`), gated on ATE. Returns
+    (frames/s, ate_m, n_closures)."""
+    from pctpu.pipelines.odometry import OdometryConfig, ate, run_odometry
+
+    rng = np.random.default_rng(5)
+    # structured world: ground + pillars (same generator family as the
+    # odometry tests)
+    pts = [np.concatenate([rng.uniform(-30, 30, (3000, 2)),
+                           rng.normal(scale=0.02, size=(3000, 1))], axis=1)]
+    for _ in range(12):
+        c = rng.uniform(-25, 25, 2)
+        ang = rng.uniform(0, 2 * np.pi, 250)
+        pts.append(np.stack([c[0] + 0.4 * np.cos(ang),
+                             c[1] + 0.4 * np.sin(ang),
+                             rng.uniform(0, 4, 250)], axis=1))
+    world = np.concatenate(pts).astype(np.float32)
+
+    n_frames = ODO_FRAMES
+    gt = []
+    scans = []
+    for i in range(n_frames):
+        th = 2 * np.pi * i / n_frames
+        T = np.eye(4, dtype=np.float32)
+        c, s = np.cos(th), np.sin(th)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        T[:3, 3] = [6.0 * c, 6.0 * s, 0.0]
+        gt.append(T)
+        inv = np.linalg.inv(T)
+        local = world @ inv[:3, :3].T + inv[:3, 3]
+        keep = np.linalg.norm(local[:, :2], axis=1) < 20.0
+        scans.append((local[keep] + rng.normal(
+            scale=0.01, size=(int(keep.sum()), 3))).astype(np.float32))
+    gt = np.stack(gt)
+
+    cfg = OdometryConfig(voxel_leaf=0.4, icp_iters=25, icp_dist_thresh=3.0,
+                         keyframe_every=4, closure_radius=6.0,
+                         closure_min_gap=3, query_chunk=1024,
+                         frontend="scan")
+    out = run_odometry(scans, cfg)      # compile + warmup
+    err = ate(out["poses_optimized"], gt)
+    assert err < 0.5, f"odometry ATE {err:.3f} m exceeds the 0.5 m gate"
+    t0 = time.perf_counter()
+    out = run_odometry(scans, cfg)
+    dt = time.perf_counter() - t0
+    return n_frames / dt, err, len(out["closures"])
 
 
 def bench_reference_equivalent(src, dst):
@@ -265,6 +334,7 @@ def main():
     ours_ips, rte, rre = bench_ours(src, dst, T_gt)
     pairs_ps = bench_pairs()
     full_ps, full_rte, full_rre = bench_full_pipeline()
+    odo_fps, odo_ate, odo_closures = bench_odometry()
     base_ips = bench_reference_equivalent(src, dst)
     base_pairs = bench_reference_pairs(src, dst)
     out = {
@@ -280,10 +350,15 @@ def main():
             "pairs_vs_baseline": round(pairs_ps / base_pairs, 2),
             "pairs_gated": True,
             "full_pipeline_pairs_per_sec": round(full_ps, 2),
+            "full_pipeline_batch": FULL_PAIR_BATCH,
             "full_pipeline_rot_deg": FULL_PAIR_ROT_DEG,
-            "full_pipeline_rte_m": round(full_rte, 4),
-            "full_pipeline_rre_deg": round(full_rre, 4),
+            "full_pipeline_worst_rte_m": round(full_rte, 4),
+            "full_pipeline_worst_rre_deg": round(full_rre, 4),
             "full_pipeline_gated": True,
+            "odometry_frames_per_sec": round(odo_fps, 2),
+            "odometry_ate_m": round(odo_ate, 4),
+            "odometry_closures": odo_closures,
+            "odometry_gated": True,
         },
     }
     print(json.dumps(out))

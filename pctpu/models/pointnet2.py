@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pctpu.ops.ball_query import ball_query
-from pctpu.ops.fps import fps, fps_batched  # noqa: F401
+from pctpu.ops.fps import fps_batched
 from pctpu.ops.gather import gather_points, group_points
 from pctpu.ops.interpolate import (interpolation_weights, three_nn)
 from pctpu.ops.morton import morton_codes

@@ -266,11 +266,12 @@ def register_pairs(src: PointCloud, dst: PointCloud,
     # those) recover the lost factor (r4 probe history).
     from pctpu.features.fpfh_dense import fpfh_dense
     from pctpu.ops.gather import gather_points
-    from pctpu.ops.voxel import voxel_downsample_batch
+    from pctpu.ops.voxel import voxel_downsample_capped
 
     def preprocess(pc: PointCloud):
-        down = voxel_downsample_batch(pc.points, pc.mask, cfg.voxel_size)
-        down, nv = _cap_uniform_batch(down, cfg.downsample_capacity)
+        down, nv = voxel_downsample_capped(pc.points, pc.mask,
+                                           cfg.voxel_size,
+                                           cfg.downsample_capacity)
         feats = fpfh_dense(down.points, mask=down.mask,
                            radius=cfg.feature_radius,
                            normal_radius=cfg.normal_radius)

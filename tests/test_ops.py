@@ -325,5 +325,25 @@ def test_voxel_downsample_batch_matches_single(rng):
         np.testing.assert_array_equal(np.asarray(out.mask[i]),
                                       np.asarray(ref.mask))
         mv = np.asarray(ref.mask)
+        # cumsum-difference centroids carry ~leaf*N*eps round-off
         np.testing.assert_allclose(np.asarray(out.points[i])[mv],
-                                   np.asarray(ref.points)[mv], atol=1e-5)
+                                   np.asarray(ref.points)[mv], atol=5e-3)
+
+
+def test_voxel_downsample_capped_uniform_stride(rng):
+    """When the cap binds, kept voxels span the whole scene (uniform
+    stride over lexsorted voxel ids), and the pre-cap count is reported."""
+    from pctpu.ops.voxel import voxel_downsample_batch, voxel_downsample_capped
+    pts = jnp.asarray(rng.uniform(-20, 20, (2, 4096, 3)).astype(np.float32))
+    mask = jnp.ones((2, 4096), bool)
+    full = voxel_downsample_batch(pts, mask, 1.0)
+    nv_true = int(jnp.sum(full.mask[0]))
+    cap = nv_true // 3
+    capped, nv = voxel_downsample_capped(pts, mask, 1.0, cap)
+    assert int(nv[0]) == nv_true
+    assert bool(jnp.all(capped.mask))
+    kept = np.asarray(capped.points[0])
+    allv = np.asarray(full.points[0])[np.asarray(full.mask[0])]
+    span_kept = kept[:, 0].max() - kept[:, 0].min()
+    span_full = allv[:, 0].max() - allv[:, 0].min()
+    assert span_kept > 0.9 * span_full
