@@ -246,6 +246,35 @@ def bench_full_pipeline():
     return FULL_PAIR_BATCH / dt, worst[0], worst[1]
 
 
+def bench_full_res_icp():
+    """Mega ICP on the FULL 124,668-pt reference scan (the reference's
+    actual ICP workload is the undownsampled cloud, `main.py:107-154`),
+    gated on the reference bound. Returns (iters/s, rte, rre)."""
+    import jax.numpy as jnp
+    from pctpu.register.icp import icp_fixed_iters_banded_mega
+
+    src = _load_scan()
+    rng = np.random.default_rng(0)
+    dst, T_gt = _perturb(src, rng, [0.01, 0.02, 0.05], [0.5, -0.3, 0.1])
+    s, d = jnp.asarray(src), jnp.asarray(dst)
+    mask = jnp.ones((src.shape[0],), bool)
+    iters = 48
+
+    def run():
+        return icp_fixed_iters_banded_mega(
+            s, mask, d, mask, coarse_iters=iters, polish_iters=0,
+            dist_thresh=DIST_THRESH, block=2048, window_blocks=2,
+            query_tile=1024)
+
+    T = np.asarray(run())
+    rte, rre = rte_rre(T, T_gt)
+    assert rte < RTE_BOUND and rre < RRE_BOUND, (
+        f"full-res ICP fails the reference bound: RTE={rte:.3f}, "
+        f"RRE={rre:.3f}")
+    dt = _slope_time(run, k_lo=1, k_hi=5, trials=2)
+    return iters / dt, rte, rre
+
+
 def bench_odometry():
     """Closed SLAM loop on a synthetic circular drive: scan-to-scan mega
     front end + keyframe loop closures + pose-graph optimization
@@ -334,6 +363,7 @@ def main():
     ours_ips, rte, rre = bench_ours(src, dst, T_gt)
     pairs_ps = bench_pairs()
     full_ps, full_rte, full_rre = bench_full_pipeline()
+    fr_ips, fr_rte, fr_rre = bench_full_res_icp()
     odo_fps, odo_ate, odo_closures = bench_odometry()
     base_ips = bench_reference_equivalent(src, dst)
     base_pairs = bench_reference_pairs(src, dst)
@@ -355,6 +385,10 @@ def main():
             "full_pipeline_worst_rte_m": round(full_rte, 4),
             "full_pipeline_worst_rre_deg": round(full_rre, 4),
             "full_pipeline_gated": True,
+            "icp_full_res_iters_per_sec": round(fr_ips, 2),
+            "icp_full_res_points": 124668,
+            "icp_full_res_rte_m": round(fr_rte, 4),
+            "icp_full_res_gated": True,
             "odometry_frames_per_sec": round(odo_fps, 2),
             "odometry_ate_m": round(odo_ate, 4),
             "odometry_closures": odo_closures,

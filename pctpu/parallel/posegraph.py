@@ -55,9 +55,19 @@ class PoseGraphResult(NamedTuple):
     iters: jax.Array
 
 
-def _edge_terms(poses, edges_i, edges_j, T_meas_inv, weights):
+def _edge_terms(poses, edges_i, edges_j, T_meas_inv, weights,
+                robust_delta=None, robust_kernel="geman"):
     """Per-edge residuals + Jacobian blocks, vmapped. Returns
-    (r [E,6], Ji [E,6,6], Jj [E,6,6])."""
+    (r [E,6], Ji [E,6,6], Jj [E,6,6]), each scaled by sqrt(w_eff).
+
+    robust_delta enables an M-estimator via IRLS (weights refresh every
+    GN iteration), so bad loop closures cannot drag the trajectory:
+      'huber' — w = min(1, delta/||r||): bounded CONSTANT influence;
+        good for moderate outliers, but a gross (meters-wrong) closure
+        still pulls with strength ~delta.
+      'geman' (default) — Geman-McClure w = (1 + ||r||^2/delta^2)^-2:
+        REDESCENDING influence -> 0 for gross outliers (the standard
+        robust-SLAM choice, cf. DCS/switchable constraints)."""
     zero = jnp.zeros((6,), jnp.float32)
 
     def one(i, j, Tmi, w):
@@ -66,6 +76,15 @@ def _edge_terms(poses, edges_i, edges_j, T_meas_inv, weights):
         r = f_i(zero)
         Ji = jax.jacfwd(f_i)(zero)
         Jj = jax.jacfwd(f_j)(zero)
+        if robust_delta is not None:
+            rn2 = jnp.sum(r * r)
+            d2 = jnp.float32(robust_delta) ** 2
+            if robust_kernel == "huber":
+                w = w * jnp.minimum(
+                    1.0, jnp.float32(robust_delta)
+                    / jnp.maximum(jnp.sqrt(rn2), 1e-12))
+            else:  # geman-mcclure
+                w = w / (1.0 + rn2 / d2) ** 2
         sw = jnp.sqrt(w)
         return r * sw, Ji * sw, Jj * sw
 
@@ -104,14 +123,19 @@ def _assemble(m, edges_i, edges_j, r, Ji, Jj):
     return H, b
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "robust_delta",
+                                   "robust_kernel"))
 def optimize_pose_graph(poses: jax.Array, edges_i: jax.Array,
                         edges_j: jax.Array, T_meas: jax.Array,
                         weights: Optional[jax.Array] = None,
                         iters: int = 10, damping: float = 1e-6,
-                        gauge_weight: float = 1e6) -> PoseGraphResult:
+                        gauge_weight: float = 1e6,
+                        robust_delta: Optional[float] = None,
+                        robust_kernel: str = "geman"
+                        ) -> PoseGraphResult:
     """poses [M,4,4]; edges (i[E], j[E], T_meas [E,4,4]) with T_meas ~
-    T_i^-1 T_j. Returns optimized poses (pose 0 pinned)."""
+    T_i^-1 T_j. Returns optimized poses (pose 0 pinned). robust_delta
+    enables an IRLS robust kernel (see `_edge_terms`)."""
     m = poses.shape[0]
     if weights is None:
         weights = jnp.ones(edges_i.shape, jnp.float32)
@@ -119,7 +143,8 @@ def optimize_pose_graph(poses: jax.Array, edges_i: jax.Array,
 
     def body(_, carry):
         poses, cost = carry
-        r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv, weights)
+        r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv,
+                                weights, robust_delta, robust_kernel)
         H, b = _assemble(m, edges_i, edges_j, r, Ji, Jj)
         # gauge prior on pose 0 + Levenberg damping
         H = H.at[jnp.arange(6), jnp.arange(6)].add(gauge_weight)
@@ -230,13 +255,17 @@ def _pcg_refined(matvec, Minv, b, cg_iters: int, refine: int = 2):
     return x
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters", "refine"))
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "refine",
+                                   "robust_delta", "robust_kernel"))
 def optimize_pose_graph_sparse(poses: jax.Array, edges_i: jax.Array,
                                edges_j: jax.Array, T_meas: jax.Array,
                                weights: Optional[jax.Array] = None,
                                iters: int = 10, cg_iters: int = 100,
                                damping: float = 1e-6,
-                               refine: int = 2) -> PoseGraphResult:
+                               refine: int = 2,
+                               robust_delta: Optional[float] = None,
+                               robust_kernel: str = "geman"
+                               ) -> PoseGraphResult:
     """Block-sparse Gauss-Newton: same problem as `optimize_pose_graph`,
     O(M+E) memory and O(E*cg_iters) solve — use beyond ~100 poses.
     Gauge is fixed by eliminating pose 0 (vs the dense path's 1e6 prior —
@@ -248,7 +277,8 @@ def optimize_pose_graph_sparse(poses: jax.Array, edges_i: jax.Array,
 
     def body(_, carry):
         poses, cost = carry
-        r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv, weights)
+        r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv,
+                                weights, robust_delta, robust_kernel)
         D, Bij, b = _pose_blocks(m, edges_i, edges_j, r, Ji, Jj, damping)
         Minv = jnp.linalg.inv(D)
         dx = _pcg_refined(

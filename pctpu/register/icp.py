@@ -335,6 +335,27 @@ def icp_fixed_iters_banded_fused_v2(src: jax.Array, src_mask: jax.Array,
                              unroll=unroll)
 
 
+def _pad_pow2(points: jax.Array, mask: jax.Array, axis: int = 0):
+    """Pad the point axis up to the next power of two (mask False).
+
+    Mosaic compile time for the mega kernel is pathological at large
+    NON-power-of-two point counts (the real 124,668-pt KITTI scan took
+    >25 min to compile vs ~20 s padded to 131,072 — r4 probe history);
+    the <=2x (typically ~1.05x) masked extra work is noise next to that.
+    """
+    n = points.shape[axis]
+    m = 1 << (n - 1).bit_length()
+    if m == n:
+        return points, mask
+    pad = [(0, 0)] * points.ndim
+    pad[axis] = (0, m - n)
+    pts = jnp.pad(points, pad, mode="edge")
+    mpad = [(0, 0)] * mask.ndim
+    mpad[axis] = (0, m - n)
+    msk = jnp.pad(mask, mpad, constant_values=False)
+    return pts, msk
+
+
 @partial(jax.jit, static_argnames=("coarse_iters", "polish_iters",
                                    "dist_thresh", "block", "window_blocks",
                                    "query_tile", "interpret",
@@ -362,6 +383,8 @@ def icp_fixed_iters_banded_mega(src: jax.Array, src_mask: jax.Array,
     from pctpu.ops.pallas_icp_mega import icp_mega
     if init_T is None:
         init_T = jnp.eye(4, dtype=jnp.float32)
+    src, src_mask = _pad_pow2(src, src_mask)
+    dst, dst_mask = _pad_pow2(dst, dst_mask)
     bdb = build_banded(dst, dst_mask, block=block)
     n = src.shape[0]
     # order source tiles by the INIT-TRANSFORMED band-axis coordinate
@@ -422,6 +445,8 @@ def icp_fixed_iters_banded_mega_batch(src: jax.Array, src_mask: jax.Array,
     (banded build + source sort) is vmapped XLA."""
     from pctpu.ops.pallas_banded import build_banded
     from pctpu.ops.pallas_icp_mega import icp_mega_batch
+    src, src_mask = _pad_pow2(src, src_mask, axis=1)
+    dst, dst_mask = _pad_pow2(dst, dst_mask, axis=1)
     b, n, _ = src.shape
     if init_T is None:
         init_T = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))

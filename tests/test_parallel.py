@@ -356,3 +356,43 @@ def test_batched_icp_mega_interpret():
         rte, rre = se3.pose_diff_rte_rre(
             jnp.asarray(Ts[b]), jnp.asarray(gts[b]))
         assert float(rte) < 0.05 and float(rre) < 0.5
+
+
+def test_pose_graph_huber_rejects_bad_closure():
+    """A single corrupted loop closure (wrong by meters) must not drag the
+    robust (Huber IRLS) solution; the plain L2 solve IS dragged — the
+    capability difference the robust kernel exists for."""
+    rng = np.random.default_rng(9)
+    gt, (ei, ej, Tm) = _ring_graph(rng, m=12, noise_rot=0.01, noise_t=0.05)
+    m = gt.shape[0]
+    # corrupt the 0 -> m/2 closure edge (last row) by a large bogus offset
+    Tm_bad = Tm.copy()
+    Tm_bad[-1][:3, 3] += np.array([8.0, -6.0, 3.0], np.float32)
+
+    init = [np.eye(4, dtype=np.float32)]
+    for k in range(m - 1):
+        init.append((init[-1] @ Tm[k]).astype(np.float32))
+    init = np.stack(init)
+
+    def ate(poses):
+        aligned = np.linalg.inv(poses[0])[None] @ poses
+        gt_aligned = np.linalg.inv(gt[0])[None] @ gt
+        return np.linalg.norm(aligned[:, :3, 3] - gt_aligned[:, :3, 3],
+                              axis=1).mean()
+
+    plain = parallel.optimize_pose_graph(
+        jnp.asarray(init), jnp.asarray(ei), jnp.asarray(ej),
+        jnp.asarray(Tm_bad), iters=10)
+    robust = parallel.optimize_pose_graph(
+        jnp.asarray(init), jnp.asarray(ei), jnp.asarray(ej),
+        jnp.asarray(Tm_bad), iters=10, robust_delta=0.5)
+    e_plain, e_rob = ate(np.asarray(plain.poses)), ate(np.asarray(robust.poses))
+    assert e_rob < 0.3, e_rob
+    assert e_rob < 0.5 * e_plain, (e_rob, e_plain)
+
+    # sparse backend agrees with dense under the same robust kernel
+    rob_sp = parallel.optimize_pose_graph_sparse(
+        jnp.asarray(init), jnp.asarray(ei), jnp.asarray(ej),
+        jnp.asarray(Tm_bad), iters=10, cg_iters=200, robust_delta=0.5)
+    e_sp = ate(np.asarray(rob_sp.poses))
+    assert abs(e_sp - e_rob) < 0.05, (e_sp, e_rob)
