@@ -14,6 +14,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.lax import Precision as _P
 import numpy as np
 
 
@@ -70,7 +71,8 @@ def gmm_fit(data: jax.Array, k: int, key: Optional[jax.Array] = None,
         means = (gamma @ data) / nk_safe[:, None]
         diff = data[None, :, :] - means[:, None, :]    # [k,N,D]
         wdiff = diff * gamma[:, :, None]
-        covs = jnp.einsum("kni,knj->kij", wdiff, diff) / nk_safe[:, None, None]
+        covs = jnp.einsum("kni,knj->kij", wdiff, diff,
+                          precision=_P.HIGHEST) / nk_safe[:, None, None]
         weights = nk / n
         return means, covs, weights
 

@@ -50,7 +50,8 @@ def kmeans(data: jax.Array, k: int, key: Optional[jax.Array] = None,
     def assign(centers):
         d2 = (jnp.sum(data * data, axis=1, keepdims=True)
               + jnp.sum(centers * centers, axis=1)[None, :]
-              - 2.0 * data @ centers.T)
+              - 2.0 * jnp.matmul(data, centers.T,
+                                 precision=jax.lax.Precision.HIGHEST))
         return jnp.argmin(d2, axis=1)
 
     def body(state):

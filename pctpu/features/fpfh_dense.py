@@ -34,6 +34,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.lax import Precision as _P
 
 from pctpu.ops.eigh3 import eigh3
 
@@ -83,9 +84,11 @@ def normals_radius_dense(points: jax.Array, mask: jax.Array,
         q = jax.lax.dynamic_slice_in_dim(qs, i * row_chunk, row_chunk, 1)
         q2 = jax.lax.dynamic_slice_in_dim(q2s, i * row_chunk, row_chunk, 1)
         d2 = (q2[..., None] + p2[:, None, :] + colpen[:, None, :]
-              - 2.0 * jnp.einsum("bqc,bnc->bqn", q, pts))
+              - 2.0 * jnp.einsum("bqc,bnc->bqn", q, pts,
+                                 precision=_P.HIGHEST))
         w = (d2 <= r2).astype(jnp.float32)                 # [B,Q,N]
-        return jnp.einsum("bqn,bnf->bqf", w, feats)        # [B,Q,10]
+        return jnp.einsum("bqn,bnf->bqf", w, feats,
+                          precision=_P.HIGHEST)        # [B,Q,10]
 
     mom = jax.lax.map(one_chunk, jnp.arange(nchunks))      # [C,B,Q,10]
     mom = jnp.moveaxis(mom, 0, 1).reshape(b, -1, 10)[:, :n]
@@ -155,7 +158,7 @@ def fpfh_dense(points: jax.Array,
         row_ids = (i * row_chunk
                    + jax.lax.broadcasted_iota(jnp.int32,
                                               (1, row_chunk, 1), 1))
-        cross_qp = jnp.einsum("bqc,bnc->bqn", q, pts)
+        cross_qp = jnp.einsum("bqc,bnc->bqn", q, pts, precision=_P.HIGHEST)
         d2 = q2[..., None] + p2[:, None, :] - 2.0 * cross_qp
         within = ((d2 + colpen[:, None, :] <= r2)
                   & (row_ids != col_ids))                  # [B,Q,N]
@@ -216,13 +219,15 @@ def fpfh_dense(points: jax.Array,
                    + jax.lax.broadcasted_iota(jnp.int32,
                                               (1, row_chunk, 1), 1))
         d2 = (q2[..., None] + p2[:, None, :]
-              - 2.0 * jnp.einsum("bqc,bnc->bqn", q, pts))
+              - 2.0 * jnp.einsum("bqc,bnc->bqn", q, pts,
+                                 precision=_P.HIGHEST))
         within = ((d2 + colpen[:, None, :] <= r2)
                   & (row_ids != col_ids))
         wf = within.astype(jnp.float32)
         wd = wf / jnp.sqrt(jnp.maximum(d2, 1e-12))         # 1/dist weights
         k_eff = jnp.maximum(jnp.sum(wf, axis=-1), 1.0)     # [B,Q]
-        nbr = jnp.einsum("bqn,bnf->bqf", wd, s33)          # [B,Q,33]
+        nbr = jnp.einsum("bqn,bnf->bqf", wd, s33,
+                         precision=_P.HIGHEST)          # [B,Q,33]
         return nbr / k_eff[..., None]
 
     nbr = jax.lax.map(fpfh_chunk, jnp.arange(nchunks))

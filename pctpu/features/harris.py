@@ -17,6 +17,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.lax import Precision as _P
 
 from pctpu.ops.gather import group_points
 from pctpu.ops.knn import radius_search
@@ -56,7 +57,8 @@ def harris3d_keypoints(points: jax.Array,
     w = res.valid.astype(jnp.float32)
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
     nbr_n = nbr_n * w[..., None]
-    C = jnp.einsum("nki,nkj->nij", nbr_n, nbr_n) / cnt[:, None, None]
+    C = jnp.einsum("nki,nkj->nij", nbr_n, nbr_n,
+                   precision=_P.HIGHEST) / cnt[:, None, None]
     det = jnp.linalg.det(C)
     tr = C[:, 0, 0] + C[:, 1, 1] + C[:, 2, 2]
     if measure == "harris":
@@ -99,8 +101,8 @@ def intensity_gradients(points: jax.Array, intensity: jax.Array,
     mean_i = jnp.sum(nbr_i * w, axis=1) / cnt
     dp = (nbr_p - centroid[:, None, :]) * w[..., None]      # [N,K,3]
     di = (nbr_i - mean_i[:, None]) * w                      # [N,K]
-    A = jnp.einsum("nki,nkj->nij", dp, dp) + 1e-9 * jnp.eye(3)
-    b = jnp.einsum("nki,nk->ni", dp, di)
+    A = jnp.einsum("nki,nkj->nij", dp, dp, precision=_P.HIGHEST) + 1e-9 * jnp.eye(3)
+    b = jnp.einsum("nki,nk->ni", dp, di, precision=_P.HIGHEST)
     grad = jnp.linalg.solve(A, b[..., None])[..., 0]        # [N,3]
     # tangential projection: g - (g . n) n
     return grad - jnp.sum(grad * normals, axis=-1, keepdims=True) * normals
@@ -147,7 +149,8 @@ def harris6d_keypoints(points: jax.Array,
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
     v6 = jnp.concatenate([normals, grad_u], axis=-1)        # [N,6]
     nbr_v = group_points(v6, res.idx) * w[..., None]        # [N,K,6]
-    C6 = jnp.einsum("nki,nkj->nij", nbr_v, nbr_v) / cnt[:, None, None]
+    C6 = jnp.einsum("nki,nkj->nij", nbr_v, nbr_v,
+                    precision=_P.HIGHEST) / cnt[:, None, None]
     response = jnp.linalg.eigvalsh(C6)[:, 0]                # lambda_min
     cand = mask & (response > threshold)
     keep = radius_nms(points, response, cand, radius, k_cap=k_cap)

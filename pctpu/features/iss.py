@@ -20,6 +20,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.lax import Precision as _P
 
 from pctpu.ops.eigh3 import eigvalsh3
 from pctpu.ops.gather import group_points
@@ -54,7 +55,7 @@ def iss_keypoints(points: jax.Array,
     nbr_w = jnp.where(res.valid, w_all[res.idx], 0.0)              # [N,K]
     nbr = group_points(points, res.idx)                            # [N,K,3]
     diff = (nbr - points[:, None, :]) * jnp.sqrt(nbr_w)[..., None]
-    scatter = jnp.einsum("nki,nkj->nij", diff, diff)
+    scatter = jnp.einsum("nki,nkj->nij", diff, diff, precision=_P.HIGHEST)
     scatter = scatter / jnp.maximum(
         jnp.sum(nbr_w, axis=1), 1e-12)[:, None, None]
 

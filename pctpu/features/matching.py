@@ -25,7 +25,8 @@ def _feat_dist2(a, b, b_mask=None):
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True).T
     cross = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(a2 + b2 - 2.0 * cross, 0.0)
     if b_mask is not None:
         d2 = jnp.where(b_mask[None, :], d2, jnp.float32(1e30))

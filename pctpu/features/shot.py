@@ -17,6 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.lax import Precision as _P
 
 from pctpu.ops.eigh3 import eigh3
 from pctpu.ops.gather import group_points
@@ -42,17 +43,20 @@ def _local_reference_frames(keypoints, db_points, nbrs, radius):
     w = jnp.where(nbrs.valid, radius - d, 0.0)             # SHOT weighting
     wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-12)
     diff = (nbr - keypoints[:, None, :])
-    cov = jnp.einsum("mk,mki,mkj->mij", w, diff, diff) / wsum[:, None, None]
+    cov = jnp.einsum("mk,mki,mkj->mij", w, diff, diff,
+                     precision=_P.HIGHEST) / wsum[:, None, None]
     _, V = eigh3(cov)
     x_axis = V[:, :, 2]                                    # largest eigval
     z_axis = V[:, :, 0]                                    # smallest
     # sign disambiguation: majority of neighbors on positive side
     sx = jnp.sum(jnp.where(nbrs.valid,
-                           jnp.sign(jnp.einsum("mki,mi->mk", diff, x_axis)),
+                           jnp.sign(jnp.einsum("mki,mi->mk", diff, x_axis,
+                                               precision=_P.HIGHEST)),
                            0.0), axis=1)
     x_axis = x_axis * jnp.where(sx < 0, -1.0, 1.0)[:, None]
     sz = jnp.sum(jnp.where(nbrs.valid,
-                           jnp.sign(jnp.einsum("mki,mi->mk", diff, z_axis)),
+                           jnp.sign(jnp.einsum("mki,mi->mk", diff, z_axis,
+                                               precision=_P.HIGHEST)),
                            0.0), axis=1)
     z_axis = z_axis * jnp.where(sz < 0, -1.0, 1.0)[:, None]
     # re-orthogonalize x against z, y = z x x
@@ -89,7 +93,9 @@ def shot352(points: jax.Array,
 
     nbr_p = group_points(points, nbrs.idx)                  # [M,K,3]
     nbr_n = group_points(normals, nbrs.idx)
-    local = jnp.einsum("mai,mki->mka", lrf, nbr_p - keypoints[:, None, :])
+    local = jnp.einsum("mai,mki->mka", lrf,
+                       nbr_p - keypoints[:, None, :],
+                       precision=_P.HIGHEST)
     d = jnp.linalg.norm(local, axis=-1)
 
     azimuth = jnp.arctan2(local[..., 1], local[..., 0])     # [-pi,pi]
@@ -100,7 +106,8 @@ def shot352(points: jax.Array,
     rad_bin = (d >= radius * 0.5).astype(jnp.int32)
     sector = (rad_bin * N_ELEVATION + el_bin) * N_AZIMUTH + az_bin
 
-    cos_t = jnp.clip(jnp.einsum("mi,mki->mk", lrf[:, 2], nbr_n), -1.0, 1.0)
+    cos_t = jnp.clip(jnp.einsum("mi,mki->mk", lrf[:, 2], nbr_n,
+                                precision=_P.HIGHEST), -1.0, 1.0)
     cos_bin = jnp.clip(jnp.floor(
         (cos_t + 1.0) / 2.0 * N_COS_BINS).astype(jnp.int32), 0, N_COS_BINS - 1)
 

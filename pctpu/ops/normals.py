@@ -12,6 +12,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.lax import Precision as _P
 
 from pctpu.ops.eigh3 import eigh3
 from pctpu.ops.knn import knn
@@ -67,7 +68,7 @@ def neighborhood_covariances(points: jax.Array, idx: jax.Array,
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)             # [M]
     mean = jnp.sum(nbr * w[..., None], axis=1) / cnt[:, None]
     d = (nbr - mean[:, None, :]) * w[..., None]
-    cov = jnp.einsum("mki,mkj->mij", d, d) / cnt[:, None, None]
+    cov = jnp.einsum("mki,mkj->mij", d, d, precision=_P.HIGHEST) / cnt[:, None, None]
     return cov, cnt
 
 

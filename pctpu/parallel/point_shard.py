@@ -32,7 +32,8 @@ def _local_moments(src_t, src_mask, dst, dst_mask, thresh2, query_chunk):
     sb = jnp.sum(b * w[:, None], axis=0)              # [3]
     H = jax.lax.dot_general(b * w[:, None], src_t,
                             (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [3,3]
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)  # [3,3]
     return sw, sa, sb, H
 
 

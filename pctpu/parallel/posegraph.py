@@ -139,25 +139,30 @@ def optimize_pose_graph(poses: jax.Array, edges_i: jax.Array,
     m = poses.shape[0]
     if weights is None:
         weights = jnp.ones(edges_i.shape, jnp.float32)
-    T_meas_inv = jax.vmap(se3.invert_transform)(T_meas)
 
-    def body(_, carry):
-        poses, cost = carry
-        r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv,
-                                weights, robust_delta, robust_kernel)
-        H, b = _assemble(m, edges_i, edges_j, r, Ji, Jj)
-        # gauge prior on pose 0 + Levenberg damping
-        H = H.at[jnp.arange(6), jnp.arange(6)].add(gauge_weight)
-        H = H + damping * jnp.eye(6 * m)
-        dx = jnp.linalg.solve(H, b).reshape(m, 6)
-        new_poses = jax.vmap(
-            lambda d, T: T @ se3.make_transform(_so3_exp(d[:3]), d[3:])
-        )(dx, poses)
-        new_cost = jnp.sum(r * r)
-        return new_poses, new_cost
+    # exact-f32 matmuls throughout: TPU's default bf16 MXU passes corrupt
+    # pose translations / Jacobian products by ~0.4% relative, which on a
+    # drifting chain is decimeters of systematic error (r4 finding)
+    with jax.default_matmul_precision("highest"):
+        T_meas_inv = jax.vmap(se3.invert_transform)(T_meas)
 
-    poses, cost = jax.lax.fori_loop(
-        0, iters, body, (poses.astype(jnp.float32), jnp.float32(0.0)))
+        def body(_, carry):
+            poses, cost = carry
+            r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv,
+                                    weights, robust_delta, robust_kernel)
+            H, b = _assemble(m, edges_i, edges_j, r, Ji, Jj)
+            # gauge prior on pose 0 + Levenberg damping
+            H = H.at[jnp.arange(6), jnp.arange(6)].add(gauge_weight)
+            H = H + damping * jnp.eye(6 * m)
+            dx = jnp.linalg.solve(H, b).reshape(m, 6)
+            new_poses = jax.vmap(
+                lambda d, T: T @ se3.make_transform(_so3_exp(d[:3]), d[3:])
+            )(dx, poses)
+            new_cost = jnp.sum(r * r)
+            return new_poses, new_cost
+
+        poses, cost = jax.lax.fori_loop(
+            0, iters, body, (poses.astype(jnp.float32), jnp.float32(0.0)))
     return PoseGraphResult(poses, cost, jnp.int32(iters))
 
 
@@ -273,24 +278,27 @@ def optimize_pose_graph_sparse(poses: jax.Array, edges_i: jax.Array,
     m = poses.shape[0]
     if weights is None:
         weights = jnp.ones(edges_i.shape, jnp.float32)
-    T_meas_inv = jax.vmap(se3.invert_transform)(T_meas)
 
-    def body(_, carry):
-        poses, cost = carry
-        r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv,
-                                weights, robust_delta, robust_kernel)
-        D, Bij, b = _pose_blocks(m, edges_i, edges_j, r, Ji, Jj, damping)
-        Minv = jnp.linalg.inv(D)
-        dx = _pcg_refined(
-            lambda x: _bs_matvec(D, edges_i, edges_j, Bij, x),
-            Minv, b, cg_iters, refine=refine)
-        new_poses = jax.vmap(
-            lambda d, T: T @ se3.make_transform(_so3_exp(d[:3]), d[3:])
-        )(dx, poses)
-        return new_poses, jnp.sum(r * r)
+    with jax.default_matmul_precision("highest"):   # see dense path note
+        T_meas_inv = jax.vmap(se3.invert_transform)(T_meas)
 
-    poses, cost = jax.lax.fori_loop(
-        0, iters, body, (poses.astype(jnp.float32), jnp.float32(0.0)))
+        def body(_, carry):
+            poses, cost = carry
+            r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv,
+                                    weights, robust_delta, robust_kernel)
+            D, Bij, b = _pose_blocks(m, edges_i, edges_j, r, Ji, Jj,
+                                     damping)
+            Minv = jnp.linalg.inv(D)
+            dx = _pcg_refined(
+                lambda x: _bs_matvec(D, edges_i, edges_j, Bij, x),
+                Minv, b, cg_iters, refine=refine)
+            new_poses = jax.vmap(
+                lambda d, T: T @ se3.make_transform(_so3_exp(d[:3]), d[3:])
+            )(dx, poses)
+            return new_poses, jnp.sum(r * r)
+
+        poses, cost = jax.lax.fori_loop(
+            0, iters, body, (poses.astype(jnp.float32), jnp.float32(0.0)))
     return PoseGraphResult(poses, cost, jnp.int32(iters))
 
 

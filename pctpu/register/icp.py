@@ -123,6 +123,7 @@ def icp_point_to_plane(src: jax.Array, src_mask: jax.Array,
         J = jnp.concatenate([jnp.cross(src_t, n), n], axis=-1)  # [N,6]
         Jw = J * w[:, None]
         A = jax.lax.dot_general(Jw, J, (((0,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
         b = -(Jw.T @ r)
         A = A + 1e-6 * jnp.eye(6, dtype=jnp.float32)

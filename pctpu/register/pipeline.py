@@ -169,7 +169,8 @@ def _refine_exact_batch(T, src: PointCloud, dst: PointCloud,
     thresh2 = jnp.float32(cfg.icp_dist_thresh) ** 2
 
     for _ in range(cfg.icp_refine_iters):
-        qt = jnp.einsum("bij,bnj->bni", T[:, :3, :3], q) + T[:, None, :3, 3]
+        qt = jnp.einsum("bij,bnj->bni", T[:, :3, :3], q,
+                        precision=jax.lax.Precision.HIGHEST) + T[:, None, :3, 3]
         d2, idx = jax.vmap(
             lambda a, d, m: chunked_min_argmin(a, d, m, 2048))(
                 qt, dst.points, dst.mask)

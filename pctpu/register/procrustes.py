@@ -37,6 +37,7 @@ def weighted_procrustes(src: jax.Array, dst: jax.Array,
     b = dst - dst_c
     # cross-covariance H = sum w (dst-dc)(src-sc)^T — a 3x3 from one matmul
     H = jax.lax.dot_general(b, a, (((0,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
     U, _, Vt = jnp.linalg.svd(H)
     if allow_reflection:

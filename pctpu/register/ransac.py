@@ -138,7 +138,8 @@ def ransac_registration(src_pts: jax.Array, dst_pts: jax.Array,
         -2.0 * ts,
     ], axis=1)                                             # [H,16]
     err2 = jax.lax.dot_general(F, G, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     inl = (err2 < thresh2) & corr_valid[None, :]
     scores = jnp.sum(inl, axis=1) * sample_ok.astype(jnp.int32)
 
