@@ -57,7 +57,7 @@ PAIR_ITERS = 30
 
 FULL_PAIR_ROT_DEG = 35.0   # outside the ICP basin: needs the RANSAC init
 FULL_PAIR_BATCH = 16
-ODO_FRAMES = 24
+ODO_FRAMES = 32
 
 
 def _perturb(pts, rng, rotvec, trans, noise=0.01):
@@ -312,7 +312,7 @@ def bench_odometry():
             scale=0.01, size=(int(keep.sum()), 3))).astype(np.float32))
     gt = np.stack(gt)
 
-    cfg = OdometryConfig(voxel_leaf=0.4, icp_iters=25, icp_dist_thresh=3.0,
+    cfg = OdometryConfig(voxel_leaf=0.4, icp_iters=30, icp_dist_thresh=3.0,
                          keyframe_every=4, closure_radius=6.0,
                          closure_min_gap=3, query_chunk=1024,
                          frontend="scan")

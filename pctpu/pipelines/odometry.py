@@ -96,8 +96,11 @@ def odometry_deltas_scan(points: jax.Array, masks: jax.Array,
 def compose_deltas(deltas: jax.Array) -> jax.Array:
     """deltas [F,4,4] (delta[k] = pose[k-1]^-1 pose[k]) -> world poses
     [F,4,4] via parallel prefix: an associative scan over 4x4 composes in
-    O(log F) depth instead of a sequential F-step chain."""
-    return jax.lax.associative_scan(jnp.matmul, deltas)
+    O(log F) depth instead of a sequential F-step chain. Exact-f32
+    matmuls: the TPU default bf16 passes compound visibly over a
+    pose chain (r4 precision finding)."""
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.associative_scan(mm, deltas)
 
 
 def run_odometry(scans: Sequence[np.ndarray],
