@@ -513,13 +513,80 @@ def _so3_exp(omega: jax.Array) -> jax.Array:
     return jnp.where(small, jnp.eye(3, dtype=jnp.float32) + K0, R)
 
 
+
+def _trim_weights(w: jax.Array, d2: jax.Array, trim: float,
+                  active=None) -> jax.Array:
+    """Trimmed ICP: keep only the best `trim` fraction of currently-valid
+    associations (by distance). The standard partial-overlap fix — points
+    visible to one scan but not the other otherwise attract to the overlap
+    edge and bias the solve toward a stable wrong optimum. Trimming also
+    SHRINKS the convergence basin, so callers anneal it: `active` gates
+    the trim on (the fixed-iter ICPs enable it for the second half of
+    their schedule only)."""
+    if trim >= 1.0:
+        return w
+    n = d2.shape[0]
+    ds = jnp.sort(jnp.where(w > 0, d2, jnp.float32(1e30)))
+    k = jnp.clip((trim * jnp.sum(w)).astype(jnp.int32), 1, n - 1)
+    cutoff = ds[k]
+    wt = w * (d2 <= cutoff).astype(jnp.float32)
+    if active is None:
+        return wt
+    return jnp.where(active, wt, w)
+
+
 @partial(jax.jit, static_argnames=("iters", "dist_thresh", "query_chunk",
-                                   "backend"))
+                                   "backend", "trim"))
+def icp_fixed_iters_p2pl(src: jax.Array, src_mask: jax.Array,
+                         dst: jax.Array, dst_normals: jax.Array,
+                         dst_mask: jax.Array,
+                         init_T: Optional[jax.Array] = None,
+                         iters: int = 25, dist_thresh: float = 2.0,
+                         query_chunk: int = 2048,
+                         backend: str = "auto",
+                         trim: float = 1.0) -> jax.Array:
+    """Fixed-iteration POINT-TO-PLANE ICP (vmap/scan-friendly, no early
+    exit): per iteration, 1-NN association + small-angle Gauss-Newton on
+    sum w ((R p + t - q) . n)^2. On planar-dominated scenes (ground,
+    walls) this converges far past point-to-point's partial-overlap bias
+    floor — the odometry front end's default (`pipelines.odometry`)."""
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=jnp.float32)
+    thresh2 = jnp.float32(dist_thresh) ** 2
+    cfg = ICPConfig(dist_thresh=dist_thresh, query_chunk=query_chunk,
+                    backend=backend)
+
+    def body(i, T):
+        src_t = se3.apply_transform(T, src)
+        d2, idx = _associate(src_t, dst, dst_mask, cfg)
+        w = (src_mask & (d2 < thresh2)).astype(jnp.float32)
+        w = _trim_weights(w, d2, trim, active=i >= iters // 2)
+        q = dst[idx]
+        n = dst_normals[idx]
+        r = jnp.sum((src_t - q) * n, axis=-1)
+        J = jnp.concatenate([jnp.cross(src_t, n), n], axis=-1)
+        Jw = J * w[:, None]
+        A = jax.lax.dot_general(Jw, J, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        b = -(jnp.matmul(Jw.T, r,
+                         precision=jax.lax.Precision.HIGHEST))
+        A = A + 1e-6 * jnp.eye(6, dtype=jnp.float32)
+        xi = jnp.linalg.solve(A, b)
+        dT = se3.make_transform(_so3_exp(xi[:3]), xi[3:])
+        return dT @ T
+
+    return jax.lax.fori_loop(0, iters, body, init_T.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("iters", "dist_thresh", "query_chunk",
+                                   "backend", "trim"))
 def icp_fixed_iters(src: jax.Array, src_mask: jax.Array,
                     dst: jax.Array, dst_mask: jax.Array,
                     init_T: Optional[jax.Array] = None,
                     iters: int = 30, dist_thresh: float = 5.0,
-                    query_chunk: int = 2048, backend: str = "auto") -> jax.Array:
+                    query_chunk: int = 2048, backend: str = "auto",
+                    trim: float = 1.0) -> jax.Array:
     """Unrolled-count point-to-point ICP via `lax.fori_loop` — the
     benchmarking / batched (vmap-friendly) variant with no early exit, so a
     whole batch of pairs runs in lockstep (pair-parallel sweeps)."""
@@ -529,10 +596,11 @@ def icp_fixed_iters(src: jax.Array, src_mask: jax.Array,
     cfg = ICPConfig(dist_thresh=dist_thresh, query_chunk=query_chunk,
                     backend=backend)
 
-    def body(_, T):
+    def body(i, T):
         src_t = se3.apply_transform(T, src)
         d2, idx = _associate(src_t, dst, dst_mask, cfg)
         w = (src_mask & (d2 < thresh2)).astype(jnp.float32)
+        w = _trim_weights(w, d2, trim, active=i >= iters // 2)
         R, t = weighted_procrustes(src_t, dst[idx], w)
         return se3.make_transform(R, t) @ T
 
