@@ -528,7 +528,7 @@ def _trim_weights(w: jax.Array, d2: jax.Array, trim: float,
     n = d2.shape[0]
     ds = jnp.sort(jnp.where(w > 0, d2, jnp.float32(1e30)))
     k = jnp.clip((trim * jnp.sum(w)).astype(jnp.int32), 1, n - 1)
-    cutoff = ds[k]
+    cutoff = ds[k - 1]   # ds[k-1] = k-th smallest -> keeps exactly k
     wt = w * (d2 <= cutoff).astype(jnp.float32)
     if active is None:
         return wt

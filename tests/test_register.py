@@ -220,3 +220,20 @@ def test_rotation_polar3_matches_svd(rng):
         Rsvd = U @ np.diag([1.0, 1.0, d]) @ Vt
         assert np.abs(Rp - Rsvd).max() < 1e-3, (i, np.abs(Rp - Rsvd).max())
         assert abs(np.linalg.det(Rp) - 1.0) < 1e-4
+
+
+def test_trimmed_icp_weights():
+    """_trim_weights keeps exactly the best `trim` fraction of the valid
+    associations and honors the anneal gate."""
+    from pctpu.register.icp import _trim_weights
+    d2 = jnp.asarray(np.array([0.1, 0.5, 0.2, 0.9, 0.4, 1e30], np.float32))
+    w = jnp.asarray(np.array([1, 1, 1, 1, 1, 0], np.float32))
+    wt = np.asarray(_trim_weights(w, d2, 0.6))
+    # 5 valid, trim 0.6 -> keep the 3 smallest distances (0.1, 0.2, 0.4)
+    np.testing.assert_array_equal(wt, [1, 0, 1, 0, 1, 0])
+    # inactive anneal gate leaves weights untouched
+    w0 = np.asarray(_trim_weights(w, d2, 0.6, active=jnp.bool_(False)))
+    np.testing.assert_array_equal(w0, np.asarray(w))
+    # trim=1.0 is the identity
+    np.testing.assert_array_equal(np.asarray(_trim_weights(w, d2, 1.0)),
+                                  np.asarray(w))
