@@ -106,3 +106,39 @@ def run_registration_dataset(dataset_dir: str, pair_list_path: str,
                     solve_one(b0 + j, trg, src, results, failed)
     io.write_reg_results(output_path, results)
     return {"n_pairs": len(pairs), "n_failed": len(failed), "failed": failed}
+
+
+def main(argv=None):
+    """CLI parity with the reference's `python Registration/main.py` run
+    (`main.py:183-222`): solve a pair-list over an oxford-format dataset
+    and write the result file; optionally evaluate against ground truth."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--dataset", required=True,
+                   help="dir containing point_clouds/<idx>.bin")
+    p.add_argument("--pairs", required=True, help="pair list file")
+    p.add_argument("--output", required=True, help="result file to write")
+    p.add_argument("--gt", help="ground-truth result file to evaluate "
+                                "against (evaluate_rt)")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--limit", type=int)
+    p.add_argument("--voxel-size", type=float, default=2.0)
+    args = p.parse_args(argv)
+
+    cfg = RegistrationConfig(voxel_size=args.voxel_size)
+    res = run_registration_dataset(args.dataset, args.pairs, args.output,
+                                   cfg=cfg, limit=args.limit,
+                                   batch_size=args.batch_size)
+    print(f"pairs={res['n_pairs']} failed={res['n_failed']}")
+    if args.gt:
+        from pctpu.register.evaluate import evaluate_rt
+        ev = evaluate_rt(args.gt, args.output)
+        print(f"success_rate={ev['success_rate']:.4f} "
+              f"n_success={ev['n_success']} avg_rte={ev['avg_rte']:.4f} "
+              f"avg_rre={ev['avg_rre']:.4f}")
+    return res
+
+
+if __name__ == "__main__":
+    main()
