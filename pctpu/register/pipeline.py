@@ -36,11 +36,11 @@ class RegistrationConfig:
     feature_radius: float = 10.0    # 5 * voxel_size
     feature_k_cap: int = 100        # max_nn 100
     ransac_dist: float = 4.0        # 1.5 * voxel? o3d uses voxel*1.5; ref 4.0
-    # 4096 batched lottery tickets; at mutual-NN inlier ratios (>=0.2)
-    # the 0.999-confidence requirement is ~900 draws (see
-    # ransac_registration_adaptive), so this is ~4x margin at half the
-    # scoring cost of the earlier 8192
-    ransac_hypotheses: int = 4096
+    # 2048 batched lottery tickets; at mutual-NN inlier ratios (>=0.25)
+    # the 0.999-confidence requirement is ~450 draws (see
+    # ransac_registration_adaptive), so this is ~4x margin; raise it (or
+    # use ransac_registration_adaptive) for low-overlap data
+    ransac_hypotheses: int = 2048
     icp_dist_thresh: float = 5.0
     icp_max_iters: int = 100
     icp_query_chunk: int = 2048
@@ -66,10 +66,10 @@ class RegistrationConfig:
     # coarse-to-fine. (A banded full-res stage was tried and its cost was
     # ~90% layout prep — batched argsort + gathers — not iterations.)
     normal_radius: float = 4.0      # dense-normals radius (main.py:39-40)
-    icp_voxel_iters: int = 40
+    icp_voxel_iters: int = 32
     icp_refine_iters: int = 2
     refine_subsample: int = 4096
-    stats_subsample: int = 4096     # src subsample for inlier/rmse stats
+    stats_subsample: int = 2048     # src subsample for inlier/rmse stats
 
 
 class RegistrationOutput(NamedTuple):
@@ -160,7 +160,7 @@ def _refine_exact_batch(T, src: PointCloud, dst: PointCloud,
     Procrustes. The cheap way to move a voxel-converged pose the last
     millimeters."""
     from pctpu.ops.gather import gather_points
-    from pctpu.ops.pairwise import chunked_min_argmin
+    from pctpu.ops.knn import nearest
     from pctpu.register.procrustes import weighted_procrustes
     n = src.points.shape[1]
     stride = max(1, n // cfg.refine_subsample)
@@ -171,8 +171,12 @@ def _refine_exact_batch(T, src: PointCloud, dst: PointCloud,
     for _ in range(cfg.icp_refine_iters):
         qt = jnp.einsum("bij,bnj->bni", T[:, :3, :3], q,
                         precision=jax.lax.Precision.HIGHEST) + T[:, None, :3, 3]
+        # 1-NN backend 'auto' = the Pallas VMEM kernel on TPU: exact f32
+        # AND 3.3x faster than the HIGHEST-precision XLA brute tiles at
+        # these shapes (vmap of the kernel is correct and fast here — the
+        # whole per-pair db is only ~200 KB of VMEM)
         d2, idx = jax.vmap(
-            lambda a, d, m: chunked_min_argmin(a, d, m, 2048))(
+            lambda a, d, m: nearest(a, d, m, 2048, backend="auto"))(
                 qt, dst.points, dst.mask)
         w = (qm & (d2 < thresh2)).astype(jnp.float32)
         matched = gather_points(dst.points, idx)
@@ -195,7 +199,7 @@ def _icp_stats_subsampled(T, src: PointCloud, dst: PointCloud,
     q = src.points[::stride][:cfg.stats_subsample]
     qm = src.mask[::stride][:cfg.stats_subsample]
     d2, _ = nearest(se3.apply_transform(T, q), dst.points, dst.mask,
-                    cfg.icp_query_chunk, backend="xla")
+                    cfg.icp_query_chunk, backend="auto")
     inl = (d2 <= jnp.float32(cfg.icp_dist_thresh) ** 2) & qm
     num = jnp.sum(inl).astype(jnp.int32)
     rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d2, 0.0))
@@ -285,11 +289,11 @@ def register_pairs(src: PointCloud, dst: PointCloud,
                                             mutual=True))(
         sfeat, dfeat, sdown.mask, ddown.mask)
     dst_kp = gather_points(ddown.points, matches.dst_idx)
-    rr = jax.vmap(
-        lambda s, d, v, k: ransac_registration(
-            s, d, corr_valid=v, key=k, dist_thresh=cfg.ransac_dist,
-            num_hypotheses=cfg.ransac_hypotheses))(
-        sdown.points, dst_kp, matches.valid, keys)
+    from pctpu.register.ransac import ransac_registration_batch
+    rr = ransac_registration_batch(
+        sdown.points, dst_kp, matches.valid, keys,
+        dist_thresh=cfg.ransac_dist,
+        num_hypotheses=cfg.ransac_hypotheses)
     num_matches = jnp.sum(matches.valid, axis=1).astype(jnp.int32)
 
     backend = cfg.icp_backend

@@ -158,6 +158,102 @@ def ransac_registration(src_pts: jax.Array, dst_pts: jax.Array,
     return RansacResult(T, inliers, inlier_mask, inliers / n_valid)
 
 
+@partial(jax.jit, static_argnames=("num_hypotheses", "refine"))
+def ransac_registration_batch(src_pts: jax.Array, dst_pts: jax.Array,
+                              corr_valid: jax.Array, keys: jax.Array,
+                              dist_thresh: float = 4.0,
+                              edge_ratio: float = 0.9,
+                              num_hypotheses: int = 4096,
+                              refine: bool = True) -> RansacResult:
+    """Batch-native RANSAC: src/dst correspondence sets [B,M,3], valid
+    [B,M], keys [B,2] -> RansacResult with leading batch dims.
+
+    Same math as `ransac_registration` but with the batch dim explicit:
+    sample/index gathers fold the batch into flat row indices
+    (`ops.gather._flat_row_gather`) instead of vmapping XLA's batched
+    gather, and the hypothesis scoring is one batched [H,16]x[16,M]
+    matmul per pair.
+    """
+    from pctpu.ops.gather import _flat_row_gather
+    b, m, _ = src_pts.shape
+    H = num_hypotheses
+    thresh2 = jnp.float32(dist_thresh) ** 2
+    n_valid = jnp.maximum(jnp.sum(corr_valid.astype(jnp.float32), axis=1),
+                          1.0)                              # [B]
+
+    order = jnp.argsort(jnp.where(corr_valid, 0, 1), axis=1,
+                        stable=True).astype(jnp.int32)      # [B,M]
+    nv_i = jnp.maximum(jnp.sum(corr_valid.astype(jnp.int32), axis=1), 1)
+    u = jax.vmap(lambda k, nv: jax.random.randint(k, (H, 3), 0, nv))(
+        keys, nv_i)                                         # [B,H,3]
+    samples = _flat_row_gather(order[..., None],
+                               u.reshape(b, H * 3))[..., 0].reshape(b, H, 3)
+    s = _flat_row_gather(src_pts, samples.reshape(b, H * 3)).reshape(
+        b, H, 3, 3)
+    d = _flat_row_gather(dst_pts, samples.reshape(b, H * 3)).reshape(
+        b, H, 3, 3)
+    samp_valid = _flat_row_gather(
+        corr_valid[..., None], samples.reshape(b, H * 3))[..., 0].reshape(
+        b, H, 3)
+
+    def edge_lens(x):
+        e01 = jnp.linalg.norm(x[..., 0, :] - x[..., 1, :], axis=-1)
+        e02 = jnp.linalg.norm(x[..., 0, :] - x[..., 2, :], axis=-1)
+        e12 = jnp.linalg.norm(x[..., 1, :] - x[..., 2, :], axis=-1)
+        return jnp.stack([e01, e02, e12], axis=-1)          # [B,H,3]
+
+    es, ed = edge_lens(s), edge_lens(d)
+    ratio_ok = jnp.all((es > edge_ratio * ed) & (ed > edge_ratio * es),
+                       axis=-1)
+    sample_ok = ratio_ok & jnp.all(samp_valid, axis=-1)
+
+    Rs, ts, nondegen = jax.vmap(_triad_rigid)(s, d)         # [B,H,3,3]
+    sample_ok = sample_ok & nondegen
+
+    p2 = jnp.sum(src_pts * src_pts, axis=-1)                # [B,M]
+    q2 = jnp.sum(dst_pts * dst_pts, axis=-1)
+    qp = jnp.einsum("bmi,bmj->bmij", dst_pts, src_pts)      # [B,M,3,3]
+    G = jnp.concatenate([
+        (p2 + q2)[:, None, :],
+        jnp.ones((b, 1, m), jnp.float32),
+        jnp.swapaxes(src_pts, 1, 2),
+        jnp.swapaxes(qp.reshape(b, m, 9), 1, 2),
+        jnp.swapaxes(dst_pts, 1, 2),
+    ], axis=1)                                              # [B,16,M]
+    tR = jnp.einsum("bhi,bhij->bhj", ts, Rs)
+    F = jnp.concatenate([
+        jnp.ones((b, H, 1), jnp.float32),
+        jnp.sum(ts * ts, axis=-1, keepdims=True),
+        2.0 * tR,
+        -2.0 * Rs.reshape(b, H, 9),
+        -2.0 * ts,
+    ], axis=2)                                              # [B,H,16]
+    err2 = jnp.einsum("bhk,bkm->bhm", F, G,
+                      precision=jax.lax.Precision.HIGHEST)
+    inl = (err2 < thresh2) & corr_valid[:, None, :]
+    scores = jnp.sum(inl, axis=2) * sample_ok.astype(jnp.int32)  # [B,H]
+
+    best = jnp.argmax(scores, axis=1)                       # [B]
+    take = lambda x: jnp.take_along_axis(
+        x, best.reshape((b,) + (1,) * (x.ndim - 1)), axis=1)[:, 0]
+    R = take(Rs)
+    t = take(ts)
+    inlier_mask = take(inl)
+
+    if refine:
+        R, t = jax.vmap(lambda a, c, w: weighted_procrustes(
+            a, c, w))(src_pts, dst_pts, inlier_mask.astype(jnp.float32))
+        err2b = jnp.sum((jnp.einsum(
+            "bij,bmj->bmi", R, src_pts,
+            precision=jax.lax.Precision.HIGHEST)
+            + t[:, None, :] - dst_pts) ** 2, axis=-1)
+        inlier_mask = (err2b < thresh2) & corr_valid
+
+    T = jax.vmap(se3.make_transform)(R, t)
+    inliers = jnp.sum(inlier_mask, axis=1).astype(jnp.int32)
+    return RansacResult(T, inliers, inlier_mask, inliers / n_valid)
+
+
 class AdaptiveRansacResult(NamedTuple):
     T: jax.Array
     inliers: jax.Array

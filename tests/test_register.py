@@ -237,3 +237,30 @@ def test_trimmed_icp_weights():
     # trim=1.0 is the identity
     np.testing.assert_array_equal(np.asarray(_trim_weights(w, d2, 1.0)),
                                   np.asarray(w))
+
+
+def test_ransac_batch_matches_single(rng):
+    """Batch-native RANSAC row b == the single-pair path on (inputs,
+    key) b (same sampling stream, same scoring)."""
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    srcs, dsts, valids = [], [], []
+    for i in range(3):
+        src, dst, _ = make_pair(rng, n=256, angle_deg=25 + 5 * i, trans=3.0)
+        bad = rng.choice(256, 100, replace=False)
+        dst = dst.copy()
+        dst[bad] = rng.uniform(-20, 20, size=(100, 3))
+        srcs.append(src)
+        dsts.append(dst)
+        valids.append(np.ones(256, bool))
+    out = register.ransac_registration_batch(
+        jnp.asarray(np.stack(srcs)), jnp.asarray(np.stack(dsts)),
+        jnp.asarray(np.stack(valids)), keys, dist_thresh=0.5,
+        num_hypotheses=1024)
+    for i in range(3):
+        one = register.ransac_registration(
+            jnp.asarray(srcs[i]), jnp.asarray(dsts[i]),
+            corr_valid=jnp.asarray(valids[i]), key=keys[i],
+            dist_thresh=0.5, num_hypotheses=1024)
+        np.testing.assert_allclose(np.asarray(out.T[i]), np.asarray(one.T),
+                                   atol=1e-4)
+        assert int(out.inliers[i]) == int(one.inliers)
