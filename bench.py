@@ -235,15 +235,16 @@ def bench_full_pipeline():
         return register_pairs(sp, dp, keys=keys, cfg=cfg).T
 
     Ts = np.asarray(run())  # compile + warmup
-    worst = (0.0, 0.0)
+    worst_rte = worst_rre = 0.0
     for i in range(FULL_PAIR_BATCH):
         rte, rre = rte_rre(Ts[i], gts[i])
         assert rte < RTE_BOUND and rre < RRE_BOUND, (
             f"full pipeline pair {i} fails the reference success bound: "
             f"RTE={rte:.3f} (<{RTE_BOUND}), RRE={rre:.3f} (<{RRE_BOUND})")
-        worst = max(worst, (rte, rre))
+        worst_rte = max(worst_rte, rte)
+        worst_rre = max(worst_rre, rre)
     dt = _slope_time(run, k_lo=1, k_hi=5, trials=2)
-    return FULL_PAIR_BATCH / dt, worst[0], worst[1]
+    return FULL_PAIR_BATCH / dt, worst_rte, worst_rre
 
 
 def bench_full_res_icp():

@@ -41,8 +41,6 @@ class SIFT3DResult(NamedTuple):
     scale: jax.Array           # [N] sigma of the strongest extremal level
 
 
-@partial(jax.jit, static_argnames=("n_octaves", "scales_per_octave",
-                                   "k_cap", "field"))
 def sift3d_keypoints(points: jax.Array,
                      mask: Optional[jax.Array] = None,
                      min_scale: float = 0.1,
@@ -51,11 +49,11 @@ def sift3d_keypoints(points: jax.Array,
                      min_contrast: float = 0.05,
                      k_cap: int = 96,
                      field: Union[str, jax.Array] = "y") -> SIFT3DResult:
-    """points [N,3] -> PCL-style scale-space DoG keypoints."""
-    n = points.shape[0]
-    if mask is None:
-        mask = jnp.ones((n,), bool)
+    """points [N,3] -> PCL-style scale-space DoG keypoints.
 
+    Thin non-jitted dispatcher: resolves the string/array `field` into a
+    concrete [N] signal (or density mode) OUTSIDE jit — a jax.Array field
+    must not be a static argname (r4 advisor, medium)."""
     if isinstance(field, str):
         if field == "y":
             f = points[:, 1]
@@ -66,7 +64,24 @@ def sift3d_keypoints(points: jax.Array,
         else:
             raise ValueError(f"unknown field {field!r}")
     else:
-        f = field
+        f = jnp.asarray(field)
+    return _sift3d_impl(points, mask, f, min_scale, n_octaves,
+                        scales_per_octave, min_contrast, k_cap)
+
+
+@partial(jax.jit, static_argnames=("n_octaves", "scales_per_octave",
+                                   "k_cap"))
+def _sift3d_impl(points: jax.Array,
+                 mask: Optional[jax.Array],
+                 f: Optional[jax.Array],
+                 min_scale: float,
+                 n_octaves: int,
+                 scales_per_octave: int,
+                 min_contrast: float,
+                 k_cap: int) -> SIFT3DResult:
+    n = points.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), bool)
 
     # one kNN list serves smoothing at every scale (distance-weighted) and
     # the 25-neighbor extremum test

@@ -36,6 +36,9 @@ def _flat_row_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
         b *= s
     flat_p = points.reshape(b * n, c)
     off = jnp.arange(b, dtype=jnp.int32) * n
+    # clip BEFORE the batch offset: a negative / >= N index would
+    # otherwise silently read the adjacent batch element's rows
+    idx = jnp.clip(idx, 0, n - 1)
     flat_i = (idx.reshape(b, -1) + off[:, None]).reshape(-1)
     out = jnp.take(flat_p, flat_i, axis=0)
     return out.reshape(bshape + idx.shape[len(bshape):] + (c,))

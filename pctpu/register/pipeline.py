@@ -83,21 +83,6 @@ class RegistrationOutput(NamedTuple):
     dst_voxels: jax.Array
 
 
-def _cap_uniform_batch(down: PointCloud, cap: int):
-    """Batched `_cap_uniform`: [B,N] clouds -> [B,cap] via per-batch
-    uniform stride over the compacted valid prefix (flat-offset gather)."""
-    from pctpu.ops.gather import _flat_row_gather
-    b, n, _ = down.points.shape
-    nv = jnp.sum(down.mask, axis=1).astype(jnp.int32)        # [B]
-    if cap >= n:
-        return down, nv
-    i = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    idx = jnp.where(nv[:, None] > cap, (i * nv[:, None]) // cap, i)
-    pts = _flat_row_gather(down.points, idx)
-    msk = _flat_row_gather(down.mask[..., None], idx)[..., 0]
-    return PointCloud(points=pts, mask=msk), nv
-
-
 def _cap_uniform(down: PointCloud, cap: int):
     """Slice a front-compacted voxel cloud to `cap` points. When the valid
     count exceeds the cap, stride uniformly over the valid prefix (the
@@ -300,10 +285,12 @@ def register_pairs(src: PointCloud, dst: PointCloud,
     if backend == "auto":
         backend = "mega" if jax.default_backend() == "tpu" else "while"
     if backend == "mega":
-        # multiscale refine: most iterations on the already-computed 2k
-        # voxel clouds (exact windows), then a banded full-resolution
-        # polish — the explicitly-batched mega kernel keeps VMEM at one
-        # pair's working set for any B
+        # multiscale refine: `icp_voxel_iters` exact-window iterations on
+        # the already-computed 2k voxel clouds via the explicitly-batched
+        # mega kernel (VMEM stays at one pair's working set for any B),
+        # then `icp_refine_iters` exact strided full-res refine iterations
+        # (_refine_exact_batch) — no banded full-res stage (tried; its
+        # cost was ~90% layout prep, not iterations)
         from pctpu.register.icp import icp_fixed_iters_banded_mega_batch
         T = icp_fixed_iters_banded_mega_batch(
             sdown.points, sdown.mask, ddown.points, ddown.mask,

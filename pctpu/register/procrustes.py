@@ -135,6 +135,13 @@ def rotation_polar3(H: jax.Array, newton_iters: int = 6) -> jax.Array:
     # more accurate when well-conditioned).
     G = mm(H.T, H)
     wG, VG = eigh3(0.5 * (G + G.T))
+    # enforce ascending order: eigh3's analytic ordering can swap
+    # near-tied ~0 eigenvalues of a rank-deficient G (observed
+    # w = [3e-8, 0, 1] on rank-1 input), which previously mis-keyed the
+    # `degenerate` test below and let the NaN Newton branch through
+    order = jnp.argsort(wG)
+    wG = wG[order]
+    VG = VG[:, order]
     s = jnp.sqrt(jnp.maximum(wG, 0.0))                  # ascending
     u2 = mm(H, VG[:, 2]) / jnp.maximum(s[2], 1e-30)
     u1r = mm(H, VG[:, 1]) / jnp.maximum(s[1], 1e-30)
@@ -144,8 +151,27 @@ def rotation_polar3(H: jax.Array, newton_iters: int = 6) -> jax.Array:
     v0 = jnp.cross(VG[:, 2], VG[:, 1])
     R_rank2 = (jnp.outer(u2, VG[:, 2]) + jnp.outer(u1r, VG[:, 1])
                + jnp.outer(u0, v0))
-    degenerate = s[0] < 1e-4 * jnp.maximum(s[2], 1e-30)
-    return jnp.where(degenerate, R_rank2, R_newton)
+    # Guard the fallback itself (r4 advisor, high): after the norm
+    # scaling above any nonzero H has s[2] >= 1/sqrt(3), so s[2] < 0.1
+    # means H ~ 0 (e.g. zero total correspondence weight) and s[1] tiny
+    # relative to s[2] means rank-1 (collinear inliers) — in both cases
+    # NO rotation is determined and the rank-2 formula would emit a
+    # non-rotation built from garbage eigenvectors. Return identity (the
+    # mega kernel's degenerate-iteration behavior) so one empty
+    # association cannot compose a singular transform into the pose.
+    # (f32 eigh of a numerically rank-1 G leaves s[1]/s[2] ~ sqrt(eps)
+    # ~ 3e-4, so the rank-1 cut must sit above that)
+    rank_lt2 = (s[2] < 0.1) | (s[1] <= 1e-3 * s[2])
+    R_fallback = jnp.where(rank_lt2, jnp.eye(3, dtype=H.dtype), R_rank2)
+    # threshold must clear the f32 eigh3 noise floor: on an exactly
+    # singular G (entries ~1 after normalization) the computed s[0] can
+    # be as large as sqrt(eigenvalue noise) ~ 5e-4, so a 1e-4 cut let
+    # truly-planar H through to the Newton branch, which overflows
+    # (sum Xit^2 ~ det^-2 -> inf) and NaN'd the pose
+    degenerate = s[0] < 2e-3 * jnp.maximum(s[2], 1e-30)
+    # belt-and-braces: never emit a non-finite rotation
+    bad = ~jnp.all(jnp.isfinite(R_newton))
+    return jnp.where(degenerate | bad, R_fallback, R_newton)
 
 
 def procrustes_from_moments(M: jax.Array, allow_reflection: bool = False,

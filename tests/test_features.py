@@ -174,6 +174,24 @@ def test_sift3d_y_field_scale_selection(rng):
     assert 0.15 < sc < 0.6, sc
 
 
+def test_sift3d_array_field(rng):
+    """r4 advisor (medium): a precomputed [N] array `field` must be
+    accepted (it used to hit the jit static-argname hashability error)
+    and give the same result as the equivalent string mode."""
+    g = rng.uniform(-3, 3, (800, 2)).astype(np.float32)
+    y = np.exp(-((g[:, 0]) ** 2 + (g[:, 1]) ** 2) / (2 * 0.3 ** 2))
+    plane = np.stack([g[:, 0], y, g[:, 1]], axis=1).astype(np.float32)
+    kw = dict(min_scale=0.1, n_octaves=2, scales_per_octave=2,
+              min_contrast=0.02, k_cap=64)
+    res_str = features.sift3d_keypoints(jnp.asarray(plane), field="y", **kw)
+    res_arr = features.sift3d_keypoints(jnp.asarray(plane),
+                                        field=jnp.asarray(plane[:, 1]), **kw)
+    np.testing.assert_array_equal(np.asarray(res_str.keypoint_mask),
+                                  np.asarray(res_arr.keypoint_mask))
+    np.testing.assert_allclose(np.asarray(res_str.response),
+                               np.asarray(res_arr.response), rtol=1e-6)
+
+
 def test_harris6d_tomasi_coupling(rng):
     """True Harris6D (PCL HarrisKeypoint6D semantics, keypoints.cpp:64-84):
     the response is lambda_min of the 6x6 second moment of

@@ -222,6 +222,38 @@ def test_rotation_polar3_matches_svd(rng):
         assert abs(np.linalg.det(Rp) - 1.0) < 1e-4
 
 
+def test_procrustes_degenerate_guards(rng):
+    """r4 advisor (high): rank-deficient inputs must return a valid
+    rotation — identity for rank<2 (zero weights, collinear inliers),
+    the rank-2 closed form for planar — never a zero/NaN matrix that
+    would compose a singular transform into an ICP pose chain."""
+    from pctpu.register.procrustes import weighted_procrustes
+
+    src = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
+    # all-zero weights (empty association iteration)
+    R, t = weighted_procrustes(src, src + 1.0, jnp.zeros((32,)))
+    np.testing.assert_allclose(np.asarray(R), np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), 0.0, atol=1e-6)
+    # collinear correspondences (rank-1 cross-covariance)
+    line = jnp.asarray(
+        (np.arange(16)[:, None] * np.array([1.0, 0, 0])).astype(np.float32))
+    R, t = weighted_procrustes(line, line + jnp.asarray([0.0, 1.0, 0.0]),
+                               jnp.ones((16,)))
+    assert np.all(np.isfinite(np.asarray(R)))
+    np.testing.assert_allclose(np.asarray(R), np.eye(3), atol=1e-5)
+    # planar (rank-2) still solves the in-plane rotation exactly
+    P = rng.normal(size=(64, 3)).astype(np.float32)
+    P[:, 2] = 0.0
+    th = 0.7
+    Rgt = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    Q = P @ Rgt.T + np.array([1, 2, 3], np.float32)
+    R, t = weighted_procrustes(jnp.asarray(P), jnp.asarray(Q),
+                               jnp.ones((64,)))
+    assert np.abs(np.asarray(R) - Rgt).max() < 1e-5
+    assert np.abs(np.asarray(t) - [1, 2, 3]).max() < 1e-4
+
+
 def test_trimmed_icp_weights():
     """_trim_weights keeps exactly the best `trim` fraction of the valid
     associations and honors the anneal gate."""
