@@ -70,3 +70,39 @@ def make_pair_sweep(mesh: Mesh, pair_axis: str = "data",
         lambda s, sm, d, dm: fn(s, sm, d, dm, None),
         in_shardings=(sh, sh, sh, sh),
         out_shardings=sh)
+
+
+def make_full_pipeline_sweep(mesh: Mesh, pair_axis: str = "data", cfg=None):
+    """Pair-shard the FULL registration pipeline (voxel -> FPFH ->
+    mutual-NN -> RANSAC -> multiscale ICP, `register.pipeline.
+    register_pairs`) over the mesh — BASELINE.json's literal north star
+    ("registration pairs/s ... scaling efficiency at 1 chip / 1 host /
+    N hosts"), scaling the reference's 342-pair loop
+    (`Registration/main.py:183-222`).
+
+    `shard_map` splits the pair batch across `pair_axis`; each device
+    runs the identical batch-native program on its B/n_devices pairs with
+    ZERO collectives (pairs are independent), so scaling is linear by
+    construction and per-device VMEM stays at the single-device batch
+    working set.
+
+    Returns a jitted `sweep(src: PointCloud, dst: PointCloud, keys
+    [B,2]) -> RegistrationOutput`, batch axis B a multiple of the axis
+    size. Every output field is sharded over `pair_axis`.
+    """
+    from jax.experimental.shard_map import shard_map
+    from pctpu.core.cloud import PointCloud
+    from pctpu.register.pipeline import RegistrationConfig, register_pairs
+    if cfg is None:
+        cfg = RegistrationConfig()
+
+    cloud_spec = PointCloud(points=P(pair_axis), mask=P(pair_axis))
+
+    def per_device(src: PointCloud, dst: PointCloud, keys: jax.Array):
+        return register_pairs(src, dst, keys=keys, cfg=cfg)
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(cloud_spec, cloud_spec, P(pair_axis)),
+        out_specs=P(pair_axis), check_rep=False)
+    return jax.jit(sharded)

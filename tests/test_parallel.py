@@ -60,6 +60,60 @@ def test_pair_sweep_8_pairs():
 
 
 @pytest.mark.slow
+def test_full_pipeline_sweep_matches_batched():
+    """Pair-sharded FULL registration pipeline (voxel -> FPFH -> RANSAC ->
+    ICP via shard_map) == the single-device batched `register_pairs` on
+    the same inputs, and every recovered pose passes the reference gate —
+    BASELINE's "registration pairs/s scaling efficiency" north star for
+    the full chain, not ICP-only."""
+    require_8()
+    from pctpu.core.cloud import PointCloud
+    from pctpu.register.pipeline import RegistrationConfig, register_pairs
+
+    from tests.test_pipeline import make_structured_scene
+
+    rng = np.random.default_rng(3)
+    b = 8
+    src_np = make_structured_scene(rng, n=2000)
+    n = src_np.shape[0]
+    srcs, dsts, gts = [], [], []
+    for i in range(b):
+        angle = np.radians(10.0 + 3.0 * i)
+        R = Rotation.from_rotvec([0, 0, angle]).as_matrix().astype(np.float32)
+        t = np.array([2.0 + 0.3 * i, -1.0, 0.1 * i], np.float32)
+        dst_np = (src_np @ R.T + t + rng.normal(
+            scale=0.02, size=src_np.shape)).astype(np.float32)
+        T_gt = np.eye(4, dtype=np.float32)
+        T_gt[:3, :3] = R
+        T_gt[:3, 3] = t
+        srcs.append(src_np)
+        dsts.append(dst_np)
+        gts.append(T_gt)
+    sp = PointCloud(points=jnp.asarray(np.stack(srcs)),
+                    mask=jnp.ones((b, n), bool))
+    dp = PointCloud(points=jnp.asarray(np.stack(dsts)),
+                    mask=jnp.ones((b, n), bool))
+    keys = jax.random.split(jax.random.PRNGKey(11), b)
+    cfg = RegistrationConfig(voxel_size=1.0, feature_radius=5.0,
+                             ransac_dist=1.5, ransac_hypotheses=2048,
+                             icp_dist_thresh=2.0, icp_query_chunk=1024,
+                             downsample_capacity=1024)
+    mesh = parallel.make_mesh((("data", 8),))
+    sweep = parallel.make_full_pipeline_sweep(mesh, cfg=cfg)
+    with mesh:
+        out_sh = sweep(sp, dp, keys)
+    out_ref = register_pairs(sp, dp, keys=keys, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(out_sh.T), np.asarray(out_ref.T),
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out_sh.num_matches),
+                                  np.asarray(out_ref.num_matches))
+    for i in range(b):
+        # every sharded pair clears the reference gate (evaluate_rt.py:16-18)
+        rte, rre = se3.pose_diff_rte_rre(out_sh.T[i], jnp.asarray(gts[i]))
+        assert float(rte) < 2.0 and float(rre) < 5.0, (i, rte, rre)
+
+
+@pytest.mark.slow
 def test_point_sharded_icp_matches_single_device():
     require_8()
     rng = np.random.default_rng(1)
