@@ -70,6 +70,21 @@ class RegistrationConfig:
     icp_refine_iters: int = 2
     refine_subsample: int = 4096
     stats_subsample: int = 2048     # src subsample for inlier/rmse stats
+    # matching-site selection (BASELINE config #3: "ISS keypoints + FPFH
+    # matching + RANSAC coarse-to-fine ICP"; keypoint->descriptor->match
+    # chain of /root/reference/Registration/main.py:44-84 with the PCL
+    # wrapper's ISS, PCLKeypoints/src/keypoints.cpp:7-62):
+    #   'all' (default) = every capped voxel point is a matching site
+    #   'iss'           = only ISS keypoints of the voxel cloud are
+    #                     matching sites (FPFH is still computed on the
+    #                     full voxel cloud so descriptors see the full
+    #                     neighborhood; matching + RANSAC correspondences
+    #                     are restricted to keypoint rows)
+    keypoints: str = "all"
+    iss_salient_radius: float = 3.0   # PCL wrapper defaults
+    iss_nonmax_radius: float = 2.0
+    iss_min_neighbors: int = 5
+    iss_k_cap: int = 64
 
 
 class RegistrationOutput(NamedTuple):
@@ -97,6 +112,17 @@ def _cap_uniform(down: PointCloud, cap: int):
     return PointCloud(points=down.points[idx], mask=down.mask[idx]), nv
 
 
+def _iss_sites(down: PointCloud, cfg: RegistrationConfig) -> jax.Array:
+    """[N] bool: ISS-keypoint matching sites of a (single) voxel cloud."""
+    from pctpu.features.iss import iss_keypoints
+    res = iss_keypoints(down.points, mask=down.mask,
+                        salient_radius=cfg.iss_salient_radius,
+                        non_max_radius=cfg.iss_nonmax_radius,
+                        min_neighbors=cfg.iss_min_neighbors,
+                        k_cap=cfg.iss_k_cap)
+    return res.keypoint_mask & down.mask
+
+
 def _front_end(src: PointCloud, dst: PointCloud, key: jax.Array,
                cfg: RegistrationConfig):
     """voxel -> FPFH -> mutual matching -> RANSAC global init. Vmappable."""
@@ -107,13 +133,14 @@ def _front_end(src: PointCloud, dst: PointCloud, key: jax.Array,
         feats = fpfh(down.points, mask=down.mask,
                      radius=cfg.feature_radius, k_cap=cfg.feature_k_cap,
                      normal_k=cfg.normal_k)
-        return down, feats, nv
+        sites = down.mask if cfg.keypoints == "all" else _iss_sites(down, cfg)
+        return down, feats, sites, nv
 
-    sdown, sfeat, s_nv = preprocess(src)
-    ddown, dfeat, d_nv = preprocess(dst)
+    sdown, sfeat, s_sites, s_nv = preprocess(src)
+    ddown, dfeat, d_sites, d_nv = preprocess(dst)
 
-    matches = match_features(sfeat, dfeat, src_mask=sdown.mask,
-                             dst_mask=ddown.mask, mutual=True)
+    matches = match_features(sfeat, dfeat, src_mask=s_sites,
+                             dst_mask=d_sites, mutual=True)
     src_kp = sdown.points
     dst_kp = ddown.points[matches.dst_idx]
     rr = ransac_registration(
@@ -269,10 +296,17 @@ def register_pairs(src: PointCloud, dst: PointCloud,
 
     sdown, sfeat, s_nv = preprocess(src)
     ddown, dfeat, d_nv = preprocess(dst)
+    if cfg.keypoints == "iss":
+        s_sites = jax.vmap(lambda p, m: _iss_sites(
+            PointCloud(points=p, mask=m), cfg))(sdown.points, sdown.mask)
+        d_sites = jax.vmap(lambda p, m: _iss_sites(
+            PointCloud(points=p, mask=m), cfg))(ddown.points, ddown.mask)
+    else:
+        s_sites, d_sites = sdown.mask, ddown.mask
     matches = jax.vmap(
         lambda a, c, ma, mb: match_features(a, c, src_mask=ma, dst_mask=mb,
                                             mutual=True))(
-        sfeat, dfeat, sdown.mask, ddown.mask)
+        sfeat, dfeat, s_sites, d_sites)
     dst_kp = gather_points(ddown.points, matches.dst_idx)
     from pctpu.register.ransac import ransac_registration_batch
     rr = ransac_registration_batch(
