@@ -68,7 +68,7 @@ def _edge_terms(poses, edges_i, edges_j, T_meas_inv, weights,
       'geman' (default) — Geman-McClure w = (1 + ||r||^2/delta^2)^-2:
         REDESCENDING influence -> 0 for gross outliers (the standard
         robust-SLAM choice, cf. DCS/switchable constraints)."""
-    zero = jnp.zeros((6,), jnp.float32)
+    zero = jnp.zeros((6,), poses.dtype)
 
     def one(i, j, Tmi, w):
         f_i = lambda e: _edge_residual(e, zero, poses[i], poses[j], Tmi)
@@ -188,12 +188,12 @@ def _pose_blocks(m, edges_i, edges_j, r, Ji, Jj, damping):
     JiTJi = jnp.einsum("eab,eac->ebc", Ji, Ji)
     JjTJj = jnp.einsum("eab,eac->ebc", Jj, Jj)
     Bij = jnp.einsum("eab,eac->ebc", Ji, Jj)
-    D = jnp.zeros((m, 6, 6), jnp.float32)
+    D = jnp.zeros((m, 6, 6), Ji.dtype)
     D = D.at[edges_i].add(JiTJi)
     D = D.at[edges_j].add(JjTJj)
-    eye6 = jnp.eye(6, dtype=jnp.float32)
+    eye6 = jnp.eye(6, dtype=Ji.dtype)
     D = D + damping * eye6[None]
-    b = jnp.zeros((m, 6), jnp.float32)
+    b = jnp.zeros((m, 6), Ji.dtype)
     b = b.at[edges_i].add(-jnp.einsum("eab,ea->eb", Ji, r))
     b = b.at[edges_j].add(-jnp.einsum("eab,ea->eb", Jj, r))
     return D, Bij, b
@@ -274,13 +274,19 @@ def optimize_pose_graph_sparse(poses: jax.Array, edges_i: jax.Array,
     """Block-sparse Gauss-Newton: same problem as `optimize_pose_graph`,
     O(M+E) memory and O(E*cg_iters) solve — use beyond ~100 poses.
     Gauge is fixed by eliminating pose 0 (vs the dense path's 1e6 prior —
-    same solution to ~1e-6, far better CG conditioning)."""
+    same solution to ~1e-6, far better CG conditioning).
+
+    dtype follows the input poses: pass float64 arrays (under
+    `jax.experimental.enable_x64`, or via `optimize_pose_graph_sparse_f64`)
+    for the high-precision backend solve — at real-trajectory scale
+    (1000+ keyframes) f32 CG hits a cond(H)*eps roundoff floor."""
     m = poses.shape[0]
+    dt = jnp.float64 if poses.dtype == jnp.float64 else jnp.float32
     if weights is None:
-        weights = jnp.ones(edges_i.shape, jnp.float32)
+        weights = jnp.ones(edges_i.shape, dt)
 
     with jax.default_matmul_precision("highest"):   # see dense path note
-        T_meas_inv = jax.vmap(se3.invert_transform)(T_meas)
+        T_meas_inv = jax.vmap(se3.invert_transform)(T_meas.astype(dt))
 
         def body(_, carry):
             poses, cost = carry
@@ -298,8 +304,32 @@ def optimize_pose_graph_sparse(poses: jax.Array, edges_i: jax.Array,
             return new_poses, jnp.sum(r * r)
 
         poses, cost = jax.lax.fori_loop(
-            0, iters, body, (poses.astype(jnp.float32), jnp.float32(0.0)))
+            0, iters, body, (poses.astype(dt), jnp.asarray(0.0, dt)))
     return PoseGraphResult(poses, cost, jnp.int32(iters))
+
+
+def optimize_pose_graph_sparse_f64(poses, edges_i, edges_j, T_meas,
+                                   weights=None, **kw) -> PoseGraphResult:
+    """f64 pose-graph backend (VERDICT r4 item 7): runs the block-sparse
+    PCG solve in double precision under `jax.experimental.enable_x64`,
+    returning f32 poses. The pose-graph backend is tiny (KB of state, ~ms
+    of work) so precision, not throughput, binds: f32 CG's achievable
+    step error is ~cond(H)*eps_f32*||x|| — decimeters at 1000-keyframe
+    conditioning — while f64 floors ~1e-9 lower. On CPU hosts f64 is
+    native; on TPU it is emulated but still negligible at backend scale."""
+    import numpy as np
+    with jax.enable_x64():
+        res = optimize_pose_graph_sparse(
+            jnp.asarray(np.asarray(poses), jnp.float64),
+            jnp.asarray(np.asarray(edges_i)),
+            jnp.asarray(np.asarray(edges_j)),
+            jnp.asarray(np.asarray(T_meas), jnp.float64),
+            weights=None if weights is None else jnp.asarray(
+                np.asarray(weights), jnp.float64),
+            **kw)
+        out = np.asarray(res.poses).astype(np.float32)
+        cost = float(res.final_cost)
+    return PoseGraphResult(jnp.asarray(out), jnp.float32(cost), res.iters)
 
 
 def make_sharded_pose_graph_step_sparse(mesh, edge_axis: str = "data",

@@ -124,9 +124,20 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--limit", type=int)
     p.add_argument("--voxel-size", type=float, default=2.0)
+    p.add_argument("--feature-radius", type=float, default=10.0)
+    p.add_argument("--normal-radius", type=float, default=4.0)
+    p.add_argument("--ransac-dist", type=float, default=4.0)
+    p.add_argument("--downsample-capacity", type=int, default=2048)
+    p.add_argument("--keypoints", choices=["all", "iss"], default="all",
+                   help="matching sites: all voxel points or ISS keypoints")
     args = p.parse_args(argv)
 
-    cfg = RegistrationConfig(voxel_size=args.voxel_size)
+    cfg = RegistrationConfig(voxel_size=args.voxel_size,
+                             feature_radius=args.feature_radius,
+                             normal_radius=args.normal_radius,
+                             ransac_dist=args.ransac_dist,
+                             downsample_capacity=args.downsample_capacity,
+                             keypoints=args.keypoints)
     res = run_registration_dataset(args.dataset, args.pairs, args.output,
                                    cfg=cfg, limit=args.limit,
                                    batch_size=args.batch_size)

