@@ -124,18 +124,28 @@ def _assemble(m, edges_i, edges_j, r, Ji, Jj):
 
 
 @partial(jax.jit, static_argnames=("iters", "robust_delta",
-                                   "robust_kernel"))
+                                   "robust_kernel", "robust_warmup"))
 def optimize_pose_graph(poses: jax.Array, edges_i: jax.Array,
                         edges_j: jax.Array, T_meas: jax.Array,
                         weights: Optional[jax.Array] = None,
                         iters: int = 10, damping: float = 1e-6,
                         gauge_weight: float = 1e6,
                         robust_delta: Optional[float] = None,
-                        robust_kernel: str = "geman"
+                        robust_kernel: str = "geman",
+                        robust_warmup: int = 0
                         ) -> PoseGraphResult:
     """poses [M,4,4]; edges (i[E], j[E], T_meas [E,4,4]) with T_meas ~
     T_i^-1 T_j. Returns optimized poses (pose 0 pinned). robust_delta
-    enables an IRLS robust kernel (see `_edge_terms`)."""
+    enables an IRLS robust kernel (see `_edge_terms`).
+
+    robust_warmup > 0 enables graduated non-convexity (GNC): the robust
+    scale starts at delta * 2^warmup and halves each GN iteration until
+    it reaches delta. Without it, a redescending kernel (Geman-McClure)
+    evaluated at the INITIAL residuals crushes exactly the loop-closure
+    edges the graph exists to honor — a closure that contradicts ~1 m of
+    accumulated drift starts with ||r|| ~ 1 >> delta and gets weight
+    (1 + r^2/d^2)^-2 ~ 0.04, so the loop never closes (r5 bench
+    finding: ATE 0.615 raw -> 0.626 'optimized')."""
     m = poses.shape[0]
     if weights is None:
         weights = jnp.ones(edges_i.shape, jnp.float32)
@@ -146,10 +156,13 @@ def optimize_pose_graph(poses: jax.Array, edges_i: jax.Array,
     with jax.default_matmul_precision("highest"):
         T_meas_inv = jax.vmap(se3.invert_transform)(T_meas)
 
-        def body(_, carry):
+        def body(k, carry):
             poses, cost = carry
+            delta_k = None if robust_delta is None else (
+                jnp.float32(robust_delta) * jnp.exp2(
+                    jnp.maximum(0.0, robust_warmup - k).astype(jnp.float32)))
             r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv,
-                                    weights, robust_delta, robust_kernel)
+                                    weights, delta_k, robust_kernel)
             H, b = _assemble(m, edges_i, edges_j, r, Ji, Jj)
             # gauge prior on pose 0 + Levenberg damping
             H = H.at[jnp.arange(6), jnp.arange(6)].add(gauge_weight)
@@ -261,7 +274,8 @@ def _pcg_refined(matvec, Minv, b, cg_iters: int, refine: int = 2):
 
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "refine",
-                                   "robust_delta", "robust_kernel"))
+                                   "robust_delta", "robust_kernel",
+                                   "robust_warmup"))
 def optimize_pose_graph_sparse(poses: jax.Array, edges_i: jax.Array,
                                edges_j: jax.Array, T_meas: jax.Array,
                                weights: Optional[jax.Array] = None,
@@ -269,7 +283,8 @@ def optimize_pose_graph_sparse(poses: jax.Array, edges_i: jax.Array,
                                damping: float = 1e-6,
                                refine: int = 2,
                                robust_delta: Optional[float] = None,
-                               robust_kernel: str = "geman"
+                               robust_kernel: str = "geman",
+                               robust_warmup: int = 0
                                ) -> PoseGraphResult:
     """Block-sparse Gauss-Newton: same problem as `optimize_pose_graph`,
     O(M+E) memory and O(E*cg_iters) solve — use beyond ~100 poses.
@@ -288,10 +303,14 @@ def optimize_pose_graph_sparse(poses: jax.Array, edges_i: jax.Array,
     with jax.default_matmul_precision("highest"):   # see dense path note
         T_meas_inv = jax.vmap(se3.invert_transform)(T_meas.astype(dt))
 
-        def body(_, carry):
+        def body(k, carry):
             poses, cost = carry
+            # GNC warmup: see optimize_pose_graph docstring
+            delta_k = None if robust_delta is None else (
+                jnp.float32(robust_delta) * jnp.exp2(
+                    jnp.maximum(0.0, robust_warmup - k).astype(jnp.float32)))
             r, Ji, Jj = _edge_terms(poses, edges_i, edges_j, T_meas_inv,
-                                    weights, robust_delta, robust_kernel)
+                                    weights, delta_k, robust_kernel)
             D, Bij, b = _pose_blocks(m, edges_i, edges_j, r, Ji, Jj,
                                      damping)
             Minv = jnp.linalg.inv(D)

@@ -605,3 +605,37 @@ def icp_fixed_iters(src: jax.Array, src_mask: jax.Array,
         return se3.make_transform(R, t) @ T
 
     return jax.lax.fori_loop(0, iters, body, init_T.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("iters", "subsample", "dist_thresh",
+                                   "query_chunk", "backend"))
+def icp_refine_exact(src: jax.Array, src_mask: jax.Array,
+                     dst: jax.Array, dst_mask: jax.Array,
+                     T: jax.Array, iters: int = 2,
+                     subsample: int = 16384, dist_thresh: float = 5.0,
+                     query_chunk: int = 2048,
+                     backend: str = "auto") -> jax.Array:
+    """EXACT point-to-point polish from an already-coarse-converged pose:
+    `iters` iterations of a uniform-strided source subsample against the
+    FULL target via exact brute 1-NN + weighted Procrustes. The
+    full-resolution accuracy floor of the banded mega kernel is its
+    approximate windowed association (r4: RTE 0.131 m at 124,668 points
+    vs 0.012 on the 16k pair); a couple of exact iterations move the
+    pose the last centimeters at a tiny fraction of an exact full-ICP's
+    cost (reference full-res ICP workload: Registration/main.py:107-154).
+    """
+    from pctpu.ops.knn import nearest
+    n = src.shape[0]
+    stride = max(1, n // subsample)
+    q = src[::stride][:subsample]
+    qm = src_mask[::stride][:subsample]
+    thresh2 = jnp.float32(dist_thresh) ** 2
+
+    def body(_, T):
+        qt = se3.apply_transform(T, q)
+        d2, idx = nearest(qt, dst, dst_mask, query_chunk, backend=backend)
+        w = (qm & (d2 < thresh2)).astype(jnp.float32)
+        R, t = weighted_procrustes(qt, dst[idx], w)
+        return se3.make_transform(R, t) @ T
+
+    return jax.lax.fori_loop(0, iters, body, T.astype(jnp.float32))

@@ -49,7 +49,7 @@ def main():
     from pctpu.core.cloud import round_up
     from pctpu.core import se3 as _se3
     from pctpu.ops.knn import nearest as _nearest
-    from pctpu.register.icp import icp_fixed_iters_p2pl, icp_fixed_iters
+    from pctpu.register.icp import icp_fixed_iters_p2pl
 
     gt, scans = make_workload()
     cfg = OdometryConfig(voxel_leaf=0.4, icp_iters=30, icp_dist_thresh=3.0,
