@@ -85,6 +85,10 @@ class RegistrationConfig:
     iss_nonmax_radius: float = 2.0
     iss_min_neighbors: int = 5
     iss_k_cap: int = 64
+    # FPFH backend for the batched path: 'fused' = Pallas two-kernel FPFH
+    # (features/pallas_fpfh.py — no [Q,N] HBM intermediates), 'dense' =
+    # XLA chunked matmul path, 'auto' = fused on TPU else dense
+    feature_backend: str = "auto"
 
 
 class RegistrationOutput(NamedTuple):
@@ -285,13 +289,21 @@ def register_pairs(src: PointCloud, dst: PointCloud,
     from pctpu.ops.gather import gather_points
     from pctpu.ops.voxel import voxel_downsample_capped
 
+    fb = cfg.feature_backend
+    if fb == "auto":
+        fb = "fused" if jax.default_backend() == "tpu" else "dense"
+    if fb == "fused":
+        from pctpu.features.pallas_fpfh import fpfh_fused as _fpfh
+    else:
+        _fpfh = fpfh_dense
+
     def preprocess(pc: PointCloud):
         down, nv = voxel_downsample_capped(pc.points, pc.mask,
                                            cfg.voxel_size,
                                            cfg.downsample_capacity)
-        feats = fpfh_dense(down.points, mask=down.mask,
-                           radius=cfg.feature_radius,
-                           normal_radius=cfg.normal_radius)
+        feats = _fpfh(down.points, mask=down.mask,
+                      radius=cfg.feature_radius,
+                      normal_radius=cfg.normal_radius)
         return down, feats, nv
 
     sdown, sfeat, s_nv = preprocess(src)

@@ -589,3 +589,44 @@ def test_normals_radius_dense_plane(rng):
         row_chunk=64))[0]
     dots = np.abs(nrm @ true_n)
     assert np.min(dots) > 0.999, float(np.min(dots))
+
+
+def test_fpfh_pallas_matches_dense(rng):
+    """The fused Pallas FPFH (features/pallas_fpfh.py, interpret mode on
+    CPU) == the XLA dense FPFH given the same normals, up to histogram-
+    bin boundary noise (r5: the batched pipeline's feature stage)."""
+    from pctpu.features.fpfh_dense import fpfh_dense, normals_radius_dense
+    from pctpu.features.pallas_fpfh import fpfh_fused
+
+    b, n = 2, 300
+    pts = jnp.asarray(rng.uniform(-20, 20, (b, n, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(size=(b, n)) > 0.1)
+    nrm = normals_radius_dense(pts, mask, radius=4.0)
+    ref = np.asarray(fpfh_dense(pts, mask=mask, normals=nrm, radius=10.0))
+    out = np.asarray(fpfh_fused(pts, mask=mask, normals=nrm, radius=10.0,
+                                interpret=True))
+    m = np.asarray(mask)
+    # descriptors are 100-normalized histograms; a neighbor pair whose
+    # f3 rounds across the +-pi seam (or any bin boundary) moves two
+    # entries by ~100/cnt — bound the FRACTION of such flips and the
+    # mean, not the max
+    diff = np.abs(out[m] - ref[m])
+    assert np.mean(diff > 0.5) < 2e-3, float(np.mean(diff > 0.5))
+    assert np.mean(diff) < 0.02, float(np.mean(diff))
+    assert np.max(diff) < 15.0, float(np.max(diff))
+
+
+def test_fpfh_pallas_unbatched_and_default_normals(rng):
+    """[N,3] input squeezes; normals=None computes radius normals."""
+    from pctpu.features.fpfh_dense import fpfh_dense
+    from pctpu.features.pallas_fpfh import fpfh_fused
+
+    n = 200
+    pts = jnp.asarray(rng.uniform(-10, 10, (n, 3)).astype(np.float32))
+    ref = np.asarray(fpfh_dense(pts, radius=8.0, normal_radius=4.0))
+    out = np.asarray(fpfh_fused(pts, radius=8.0, normal_radius=4.0,
+                                interpret=True))
+    assert out.shape == (n, 33)
+    diff = np.abs(out - ref)
+    assert np.mean(diff > 0.5) < 5e-3, float(np.mean(diff > 0.5))
+    assert np.mean(diff) < 0.05, float(np.mean(diff))
