@@ -7,21 +7,39 @@ angle + histogram computation fused into one kernel per pass:
 
 The XLA dense path (`fpfh_dense`) materializes ~40 [B,Q,N] intermediates
 (d2, within, f1/f2/f3, 33 histogram select-reduce passes) to HBM — at a
-16x2048 batch that's dozens of round-trips over 64 MB arrays, and the
-stage measures ~6.4 ms/cloud-batch. Here each [TQ,TN] distance tile is
-computed ON-CHIP (squared differences on the VPU — exact f32, no
-|a|^2+|b|^2-2ab cancellation), the three Darboux angle features and
-their 33 histogram accumulations happen while the tile is live in VMEM,
-and only the [B,N,33] result ever touches HBM: traffic is O(N*C), not
-O(N^2 * passes).
+16x2048 batch that's dozens of round-trips over 64 MB arrays. Here each
+[TQ,TN] tile lives only in VMEM and only the [B,N,33] result touches
+HBM: traffic is O(N*C), not O(N^2 * passes).
 
-Pass 1 (`_spfh_kernel`): per query tile, loop db tiles; accumulate the
-3x11-bin SPFH histogram and the neighbor count.
+Two TPU-first moves beyond the fusion:
+
+* **MXU offload.** Every pairwise dot the Darboux frame needs factors
+  into products of per-POINT vectors: with d = p - q, u = n_q, v = n_p,
+      u.d        = u.p - u.q
+      v.d        = p.v - q.v          (p.v is a per-db scalar)
+      d.(u x v)  = det(p,u,v) - det(q,u,v)
+                 = u.(v x p) - (q x u).v
+  so six [TQ,3]x[3,TN] MXU dots (q,u,qxu against p,v,vxp) replace ~40
+  row-x-column VPU broadcast passes per tile. In-kernel dots are exact
+  f32 (Mosaic does not silently drop to bf16).
+
+* **Exact x-band pruning.** Voxel-downsampled clouds arrive lexsorted by
+  cell (x-major, `ops.voxel`): a query tile spanning x in [a,b] can only
+  have radius-r neighbors in the contiguous db range x in [a-r, b+r].
+  Per-tile [base, count) tables from one searchsorted ride scalar
+  prefetch (pattern of `ops.pallas_banded`), and each query tile loops
+  only its in-band db tiles. EXACT, not approximate: any skipped column
+  has |dx| > r and therefore d2 > r^2 — it could never enter the
+  histogram. (`x_banded=False`, the safe default for unsorted input,
+  degenerates the tables to the full range — same kernel.)
+
+Pass 1 (`_spfh_kernel`): per query tile, loop in-band db tiles;
+accumulate the 3x11-bin SPFH histogram and the neighbor count.
 Pass 2 (`_wsum_kernel`): recompute the distance tile, accumulate the
 1/dist-weighted neighbor SPFH sum as [TQ,TN]x[TN,33] MXU dots.
 
-Matches `fpfh_dense` to float tolerance given the same normals
-(tests/test_features.py::test_fpfh_pallas_matches_dense).
+Matches `fpfh_dense` to histogram-bin boundary noise given the same
+normals (tests/test_features.py::test_fpfh_pallas_matches_dense).
 """
 from __future__ import annotations
 
@@ -56,57 +74,49 @@ def _atan2f(y, x):
     return jnp.where(y < 0, -r, r)
 
 
-def _dist_tile(q, qx, qy, qz, dbt_ref, pen_ref, start, tn):
-    """[TQ,TN] squared distances (+BIG on masked/pad cols) for one db tile."""
-    px = dbt_ref[0, 0:1, pl.ds(start, tn)]
-    py = dbt_ref[0, 1:2, pl.ds(start, tn)]
-    pz = dbt_ref[0, 2:3, pl.ds(start, tn)]
-    dx = px - qx
-    dy = py - qy
-    dz = pz - qz
-    d2 = dx * dx + dy * dy + dz * dz
-    pen = pen_ref[0, 0:1, pl.ds(start, tn)]
-    return dx, dy, dz, d2, pen
+# db-side packed matrix rows (built once per cloud, [B, 12, Np]):
+#   0:3  p (points, transposed)     6:9  v x p
+#   3:6  v (normals, transposed)    9 |p|^2   10 p.v   11 mask penalty
+_P, _V, _W, _P2, _PV, _PEN = slice(0, 3), slice(3, 6), slice(6, 9), 9, 10, 11
+# query-side packed columns ([B, Np, 11]):
+#   0:3 q   3:6 u   6:9 q x u   9 |q|^2   10 u.q
+_DOT = partial(jax.lax.dot_general,
+               dimension_numbers=(((1,), (0,)), ((), ())),
+               preferred_element_type=jnp.float32)
 
 
-def _spfh_kernel(q_ref, qn_ref, dbt_ref, dbnt_ref, pen_ref,
-                 hist_ref, cnt_ref, *, db_tile: int, r2: float):
-    tq = q_ref.shape[1]
-    n = dbt_ref.shape[2]
-    n_tiles = n // db_tile
-    i = pl.program_id(1)
-
-    q = q_ref[0]                                   # [TQ,3]
-    nq = qn_ref[0]
-    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
-    ux, uy, uz = nq[:, 0:1], nq[:, 1:2], nq[:, 2:3]
+def _spfh_kernel(base_ref, nt_ref, a_ref, db_ref, hist_ref, cnt_ref,
+                 *, db_tile: int, r2: float):
+    tq = a_ref.shape[1]
+    bi, i = pl.program_id(0), pl.program_id(1)
+    A = a_ref[0]                                   # [TQ,11]
+    Aq, Au, Ax = A[:, 0:3], A[:, 3:6], A[:, 6:9]
+    q2, uq = A[:, 9:10], A[:, 10:11]
     rows = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+    base = base_ref[bi, i]
 
     def body(j, carry):
         hist, cnt = carry
-        start = j * db_tile
-        dx, dy, dz, d2, pen = _dist_tile(q, qx, qy, qz, dbt_ref, pen_ref,
-                                         start, db_tile)
+        start = (base + j) * db_tile
+        db = db_ref[0, :, pl.ds(start, db_tile)]   # [12,TN]
+        qp = _DOT(Aq, db[_P])                      # [TQ,TN] q.p
+        up = _DOT(Au, db[_P])                      # u.p
+        qv = _DOT(Aq, db[_V])                      # q.v
+        un = _DOT(Au, db[_V])                      # u.v
+        xv = _DOT(Ax, db[_V])                      # (q x u).v = det(q,u,v)
+        uw = _DOT(Au, db[_W])                      # u.(v x p) = det(p,u,v)
+        d2 = q2 + db[_P2:_P2 + 1] - 2.0 * qp
         cols = (start
                 + jax.lax.broadcasted_iota(jnp.int32, (tq, db_tile), 1))
-        within = ((d2 + pen <= r2) & (rows != cols))
-        wf = within.astype(jnp.float32)            # [TQ,TN]
+        within = ((d2 + db[_PEN:_PEN + 1] <= r2) & (rows != cols))
+        wf = within.astype(jnp.float32)
         inv_d = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
 
-        vx = dbnt_ref[0, 0:1, pl.ds(start, db_tile)]
-        vy = dbnt_ref[0, 1:2, pl.ds(start, db_tile)]
-        vz = dbnt_ref[0, 2:3, pl.ds(start, db_tile)]
-        # u = n_row; f2 = u . dhat (d = p_col - q_row)
-        f2 = (ux * dx + uy * dy + uz * dz) * inv_d
-        # g = u x n_col
-        gx = uy * vz - uz * vy
-        gy = uz * vx - ux * vz
-        gz = ux * vy - uy * vx
+        f2 = (up - uq) * inv_d
         s = jnp.sqrt(jnp.maximum(1.0 - f2 * f2, 0.0))
         inv_s = 1.0 / jnp.maximum(s, 1e-12)
-        f1 = (dx * gx + dy * gy + dz * gz) * inv_d * inv_s
-        un = ux * vx + uy * vy + uz * vz
-        dn = (dx * vx + dy * vy + dz * vz) * inv_d
+        f1 = (uw - xv) * inv_d * inv_s
+        dn = (db[_PV:_PV + 1] - qv) * inv_d
         f3 = _atan2f((dn - f2 * un) * inv_s, un)
 
         two_pi_inv = jnp.float32(N_BINS / (2.0 * jnp.pi))
@@ -128,94 +138,147 @@ def _spfh_kernel(q_ref, qn_ref, dbt_ref, dbnt_ref, pen_ref,
 
     hist0 = jnp.zeros((tq, 3 * N_BINS), jnp.float32)
     cnt0 = jnp.zeros((tq, 1), jnp.float32)
-    hist, cnt = jax.lax.fori_loop(0, n_tiles, body, (hist0, cnt0))
+    hist, cnt = jax.lax.fori_loop(0, nt_ref[bi, i], body, (hist0, cnt0))
     cnt = jnp.maximum(cnt, 1.0)
     hist_ref[0] = hist * (100.0 / cnt)
     cnt_ref[0] = cnt
 
 
-def _wsum_kernel(q_ref, dbt_ref, pen_ref, s33_ref, out_ref,
+def _wsum_kernel(base_ref, nt_ref, a_ref, db_ref, s33_ref, out_ref,
                  *, db_tile: int, r2: float):
-    tq = q_ref.shape[1]
-    n = dbt_ref.shape[2]
-    n_tiles = n // db_tile
-    i = pl.program_id(1)
-
-    q = q_ref[0]
-    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    tq = a_ref.shape[1]
+    bi, i = pl.program_id(0), pl.program_id(1)
+    A = a_ref[0]
+    Aq, q2 = A[:, 0:3], A[:, 9:10]
     rows = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+    base = base_ref[bi, i]
 
     def body(j, carry):
         acc, k_eff = carry
-        start = j * db_tile
-        _, _, _, d2, pen = _dist_tile(q, qx, qy, qz, dbt_ref, pen_ref,
-                                      start, db_tile)
+        start = (base + j) * db_tile
+        db = db_ref[0, :, pl.ds(start, db_tile)]
+        qp = _DOT(Aq, db[_P])
+        d2 = q2 + db[_P2:_P2 + 1] - 2.0 * qp
         cols = (start
                 + jax.lax.broadcasted_iota(jnp.int32, (tq, db_tile), 1))
-        within = ((d2 + pen <= r2) & (rows != cols))
+        within = ((d2 + db[_PEN:_PEN + 1] <= r2) & (rows != cols))
         wf = within.astype(jnp.float32)
         wd = wf * jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
         s33 = s33_ref[0, pl.ds(start, db_tile), :]        # [TN,33]
-        acc = acc + jax.lax.dot_general(
-            wd, s33, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        acc = acc + _DOT(wd, s33)
         return acc, k_eff + jnp.sum(wf, axis=1, keepdims=True)
 
     acc0 = jnp.zeros((tq, 3 * N_BINS), jnp.float32)
     k0 = jnp.zeros((tq, 1), jnp.float32)
-    acc, k_eff = jax.lax.fori_loop(0, n_tiles, body, (acc0, k0))
+    acc, k_eff = jax.lax.fori_loop(0, nt_ref[bi, i], body, (acc0, k0))
     out_ref[0] = acc / jnp.maximum(k_eff, 1.0)
 
 
+def _band_tables(xs, radius: float, q_tile: int, db_tile: int,
+                 slack: float = 0.0):
+    """Per-(batch, query-tile) [base db-tile, db-tile count) covering all
+    columns with x within `radius` of the tile's x-range.
+
+    xs [B,Np]: x per column, BIG at invalid/pad rows. The valid prefix
+    must be nondecreasing up to local inversions of at most `slack`
+    (voxel clouds are CELL-lexsorted: x is monotone up to one leaf —
+    pass slack=leaf). Binary search runs on the running max M=cummax(xs)
+    (exactly nondecreasing): i < lo has xs<=M<a, and i >= hi has
+    xs >= M - slack > b — no true neighbor is ever skipped."""
+    b, np_ = xs.shape
+    n_tiles = np_ // db_tile
+    xt = xs.reshape(b, -1, q_tile)
+    valid = xt < BIG / 2
+    tmin = jnp.min(jnp.where(valid, xt, BIG), axis=2)
+    tmax = jnp.max(jnp.where(valid, xt, -BIG), axis=2)
+    m = jax.lax.cummax(xs, axis=1)
+    lo = jax.vmap(jnp.searchsorted)(m, tmin - radius).astype(jnp.int32)
+    hi = jax.vmap(partial(jnp.searchsorted, side="right"))(
+        m, tmax + radius + slack).astype(jnp.int32)
+    base = lo // db_tile
+    nt = -(-(hi - base * db_tile) // db_tile)
+    nt = jnp.clip(nt, 0, n_tiles - base)
+    nt = jnp.where(jnp.any(valid, axis=2), nt, 0)
+    return base.astype(jnp.int32), nt.astype(jnp.int32)
+
+
 @partial(jax.jit,
-         static_argnames=("radius", "q_tile", "db_tile", "interpret"))
+         static_argnames=("radius", "q_tile", "db_tile", "x_banded",
+                          "x_slack", "interpret"))
 def _fpfh_fused_impl(points, mask, normals, radius: float,
-                     q_tile: int, db_tile: int, interpret: bool):
+                     q_tile: int, db_tile: int, x_banded: bool,
+                     x_slack: float, interpret: bool):
     b, n, _ = points.shape
     np_ = _round_up(n, max(q_tile, db_tile))
     r2 = float(radius) ** 2
 
     pts = jnp.where(mask[..., None], points, 0.0).astype(jnp.float32)
-    qpad = jnp.zeros((b, np_, 3), jnp.float32).at[:, :n].set(pts)
-    qnpad = jnp.zeros((b, np_, 3), jnp.float32).at[:, :n].set(
-        normals.astype(jnp.float32))
-    dbt = jnp.swapaxes(qpad, 1, 2)                        # [B,3,Np]
-    dbnt = jnp.swapaxes(qnpad, 1, 2)
-    col_valid = (jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1) < n)
-    pen = jnp.where(col_valid & jnp.pad(mask, ((0, 0), (0, np_ - n))),
-                    0.0, BIG)[:, None, :]                 # [B,1,Np]
+    nrm = normals.astype(jnp.float32)
+    pad = ((0, 0), (0, np_ - n), (0, 0))
+    p = jnp.pad(pts, pad)
+    v = jnp.pad(nrm, pad)
+    qxu = jnp.cross(p, v)
+    amat = jnp.concatenate([
+        p, v, qxu,
+        jnp.sum(p * p, axis=-1, keepdims=True),
+        jnp.sum(p * v, axis=-1, keepdims=True)], axis=-1)   # [B,Np,11]
+    col_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1) < n)
+                 & jnp.pad(mask, ((0, 0), (0, np_ - n))))
+    dbmat = jnp.concatenate([
+        jnp.swapaxes(p, 1, 2),
+        jnp.swapaxes(v, 1, 2),
+        jnp.swapaxes(jnp.cross(v, p), 1, 2),
+        jnp.sum(p * p, axis=-1)[:, None, :],
+        jnp.sum(p * v, axis=-1)[:, None, :],
+        jnp.where(col_valid, 0.0, BIG)[:, None, :]], axis=1)  # [B,12,Np]
 
-    grid = (b, np_ // q_tile)
+    n_tiles = np_ // db_tile
+    nq = np_ // q_tile
+    if x_banded:
+        xs = jnp.where(col_valid, p[..., 0], BIG)
+        base, nt = _band_tables(xs, float(radius), q_tile, db_tile,
+                                slack=x_slack)
+    else:
+        base = jnp.zeros((b, nq), jnp.int32)
+        nt = jnp.full((b, nq), n_tiles, jnp.int32)
+
     ms = pl.ANY if interpret else pltpu.VMEM
 
     def qspec(c):
-        return pl.BlockSpec((1, q_tile, c), lambda bi, i: (bi, i, 0),
+        return pl.BlockSpec((1, q_tile, c),
+                            lambda bi, i, base, nt: (bi, i, 0),
                             memory_space=ms)
 
     def dbspec(r, c):
-        return pl.BlockSpec((1, r, c), lambda bi, i: (bi, 0, 0),
+        return pl.BlockSpec((1, r, c), lambda bi, i, base, nt: (bi, 0, 0),
                             memory_space=ms)
 
+    grid = (b, nq)
     s33, _cnt = pl.pallas_call(
         partial(_spfh_kernel, db_tile=db_tile, r2=r2),
-        grid=grid,
-        in_specs=[qspec(3), qspec(3), dbspec(3, np_), dbspec(3, np_),
-                  dbspec(1, np_)],
-        out_specs=[qspec(3 * N_BINS), qspec(1)],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[qspec(11), dbspec(12, np_)],
+            out_specs=[qspec(3 * N_BINS), qspec(1)],
+        ),
         out_shape=[jax.ShapeDtypeStruct((b, np_, 3 * N_BINS), jnp.float32),
                    jax.ShapeDtypeStruct((b, np_, 1), jnp.float32)],
         interpret=interpret,
-    )(qpad, qnpad, dbt, dbnt, pen)
+    )(base, nt, amat, dbmat)
 
     nbr = pl.pallas_call(
         partial(_wsum_kernel, db_tile=db_tile, r2=r2),
-        grid=grid,
-        in_specs=[qspec(3), dbspec(3, np_), dbspec(1, np_),
-                  dbspec(np_, 3 * N_BINS)],
-        out_specs=qspec(3 * N_BINS),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[qspec(11), dbspec(12, np_),
+                      dbspec(np_, 3 * N_BINS)],
+            out_specs=qspec(3 * N_BINS),
+        ),
         out_shape=jax.ShapeDtypeStruct((b, np_, 3 * N_BINS), jnp.float32),
         interpret=interpret,
-    )(qpad, dbt, pen, s33)
+    )(base, nt, amat, dbmat, s33)
 
     f = (s33 + nbr)[:, :n]
     blocks = f.reshape(b, n, 3, N_BINS)
@@ -230,12 +293,17 @@ def fpfh_fused(points: jax.Array,
                radius: float = 10.0,
                normal_radius: float = 4.0,
                q_tile: int = 256, db_tile: int = 512,
+               x_banded: bool = False, x_slack: float = 0.0,
                interpret: bool = False) -> jax.Array:
     """points [B,N,3] (or [N,3]) -> FPFH [B,N,33] (or [N,33]), fused.
 
     Drop-in for `fpfh_dense` (same defaults, same normals source); the
     descriptor math itself runs in two Pallas kernels with no [Q,N] HBM
-    intermediates.
+    intermediates. Set `x_banded=True` ONLY when each cloud's valid
+    prefix is sorted by x up to local inversions of at most `x_slack`
+    (voxel_downsample output is cell-lexsorted: pass x_slack=leaf):
+    query tiles then skip db tiles provably outside the radius along x —
+    exact, ~2-4x fewer tile passes on LiDAR extents.
     """
     squeeze = points.ndim == 2
     if squeeze:
@@ -249,5 +317,6 @@ def fpfh_fused(points: jax.Array,
         from pctpu.features.fpfh_dense import normals_radius_dense
         normals = normals_radius_dense(points, mask, radius=normal_radius)
     out = _fpfh_fused_impl(points, mask, normals, float(radius),
-                           q_tile, db_tile, interpret)
+                           q_tile, db_tile, x_banded, float(x_slack),
+                           interpret)
     return out[0] if squeeze else out

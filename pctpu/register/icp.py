@@ -496,6 +496,62 @@ def icp_fixed_iters_banded_mega_batch(src: jax.Array, src_mask: jax.Array,
     return T
 
 
+@partial(jax.jit, static_argnames=("iters", "dist_thresh", "block",
+                                   "query_tile", "interpret",
+                                   "newton_iters"))
+def icp_refine_exact_mega_batch(src: jax.Array, src_mask: jax.Array,
+                                dst: jax.Array, dst_mask: jax.Array,
+                                init_T: jax.Array,
+                                iters: int = 2, dist_thresh: float = 5.0,
+                                block: int = 2048, query_tile: int = 512,
+                                interpret: bool = False,
+                                newton_iters: int = 6) -> jax.Array:
+    """Batched EXACT fixed-iteration refine in one mega-kernel launch —
+    zero layout prep. src [B,M,3] (a strided subsample), dst [B,N,3].
+
+    The banded mega kernel's window base is `clip(.., 0, nb - wb)`; with
+    window_blocks = nb every query tile scans the whole db, the LUT and
+    source sort are dead weight — so this wrapper feeds dummy band
+    metadata and UNSORTED operands: association is exact brute 1-NN on
+    the MXU (pen2 - 2 b.q contraction), moments + the scalar-register
+    Procrustes solve stay in-kernel, and both iterations cost two HBM
+    passes over the db total (the per-iteration XLA refine paid gathers,
+    Procrustes and pose composes through HBM every iteration)."""
+    from pctpu.ops.pallas_banded import LUT_BINS
+    from pctpu.ops.pallas_icp_mega import icp_mega_batch
+    src, src_mask = _pad_pow2(src, src_mask, axis=1)
+    dst, dst_mask = _pad_pow2(dst, dst_mask, axis=1)
+    b, m, _ = src.shape
+    n = dst.shape[1]
+    mp = ((m + query_tile - 1) // query_tile) * query_tile
+    np_ = ((n + block - 1) // block) * block
+
+    dstf = jnp.where(dst_mask[..., None], dst, 0.0).astype(jnp.float32)
+    pen = jnp.where(dst_mask, 0.0, jnp.float32(1e30))
+    pen2 = jnp.sum(dstf * dstf, axis=-1) + pen
+    dbt5 = jnp.zeros((b, 5, np_), jnp.float32)
+    dbt5 = dbt5.at[:, 0:3, :n].set(jnp.swapaxes(dstf, 1, 2))
+    dbt5 = dbt5.at[:, 3, :n].set(pen2)
+    dbt5 = dbt5.at[:, 3, n:].set(1e30)
+    dbt5 = dbt5.at[:, 4, :n].set(1.0)
+
+    src3 = jnp.zeros((b, 3, mp), jnp.float32).at[:, :, :m].set(
+        jnp.swapaxes(src.astype(jnp.float32), 1, 2))
+    spen = jnp.full((b, 1, mp), 1e30, jnp.float32).at[:, 0, :m].set(
+        jnp.where(src_mask, 0.0, 1e30))
+    ntiles = mp // query_tile
+    centers = jnp.swapaxes(src3[:, :, query_tile // 2::query_tile],
+                           1, 2).reshape(b, 1, 3 * ntiles)
+    nb = np_ // block
+    return icp_mega_batch(
+        dbt5, jnp.zeros((b, 1, LUT_BINS + 1), jnp.int32),
+        jnp.zeros((b,), jnp.float32), jnp.ones((b,), jnp.float32),
+        jnp.zeros((b,), jnp.int32), src3, spen, centers,
+        init_T.astype(jnp.float32), iters=iters, dist_thresh=dist_thresh,
+        block=block, window_blocks=nb, query_tile=query_tile,
+        interpret=interpret, newton_iters=newton_iters)
+
+
 def _so3_exp(omega: jax.Array) -> jax.Array:
     """Rodrigues' formula, [3] -> [3,3] (Taylor-safe near zero)."""
     theta = jnp.linalg.norm(omega)

@@ -36,11 +36,15 @@ class RegistrationConfig:
     feature_radius: float = 10.0    # 5 * voxel_size
     feature_k_cap: int = 100        # max_nn 100
     ransac_dist: float = 4.0        # 1.5 * voxel? o3d uses voxel*1.5; ref 4.0
-    # 2048 batched lottery tickets; at mutual-NN inlier ratios (>=0.25)
+    # 1024 batched lottery tickets; at mutual-NN inlier ratios (>=0.25)
     # the 0.999-confidence requirement is ~450 draws (see
-    # ransac_registration_adaptive), so this is ~4x margin; raise it (or
-    # use ransac_registration_adaptive) for low-overlap data
-    ransac_hypotheses: int = 2048
+    # ransac_registration_adaptive), so this is ~2.3x margin; raise it
+    # (or use ransac_registration_adaptive) for low-overlap data
+    ransac_hypotheses: int = 1024
+    # batched path: compact mutual-NN-valid correspondences to the front
+    # and score/refine only the first `ransac_m_cap` (M is the 2048-site
+    # capacity but matching marks only a few hundred valid rows)
+    ransac_m_cap: int = 512
     icp_dist_thresh: float = 5.0
     icp_max_iters: int = 100
     icp_query_chunk: int = 2048
@@ -66,10 +70,10 @@ class RegistrationConfig:
     # coarse-to-fine. (A banded full-res stage was tried and its cost was
     # ~90% layout prep — batched argsort + gathers — not iterations.)
     normal_radius: float = 4.0      # dense-normals radius (main.py:39-40)
-    icp_voxel_iters: int = 32
+    icp_voxel_iters: int = 20
     icp_refine_iters: int = 2
-    refine_subsample: int = 4096
-    stats_subsample: int = 2048     # src subsample for inlier/rmse stats
+    refine_subsample: int = 2048
+    stats_subsample: int = 1024     # src subsample for inlier/rmse stats
     # matching-site selection (BASELINE config #3: "ISS keypoints + FPFH
     # matching + RANSAC coarse-to-fine ICP"; keypoint->descriptor->match
     # chain of /root/reference/Registration/main.py:44-84 with the PCL
@@ -169,19 +173,30 @@ def _icp_stats(T, src: PointCloud, dst: PointCloud,
 
 
 def _refine_exact_batch(T, src: PointCloud, dst: PointCloud,
-                        cfg: RegistrationConfig):
+                        cfg: RegistrationConfig, backend: str = "xla"):
     """Batched exact point-to-point refine: `icp_refine_iters` iterations
     of a strided full-res source subsample against the FULL target via
-    brute 1-NN (batched matmuls, no sort/layout prep) + weighted
-    Procrustes. The cheap way to move a voxel-converged pose the last
-    millimeters."""
-    from pctpu.ops.gather import gather_points
-    from pctpu.ops.knn import nearest
-    from pctpu.register.procrustes import weighted_procrustes
+    brute 1-NN + weighted Procrustes. The cheap way to move a
+    voxel-converged pose the last millimeters.
+
+    backend='mega' (TPU): both iterations run inside ONE mega-kernel
+    launch (`icp.icp_refine_exact_mega_batch`) — MXU association,
+    in-kernel Procrustes, no per-iteration HBM round trips.
+    backend='xla': per-iteration Pallas 1-NN + XLA Procrustes (any
+    device)."""
     n = src.points.shape[1]
     stride = max(1, n // cfg.refine_subsample)
     q = src.points[:, ::stride][:, :cfg.refine_subsample]
     qm = src.mask[:, ::stride][:, :cfg.refine_subsample]
+    if backend == "mega":
+        from pctpu.register.icp import icp_refine_exact_mega_batch
+        return icp_refine_exact_mega_batch(
+            q, qm, dst.points, dst.mask, T,
+            iters=cfg.icp_refine_iters, dist_thresh=cfg.icp_dist_thresh)
+
+    from pctpu.ops.gather import gather_points
+    from pctpu.ops.knn import nearest
+    from pctpu.register.procrustes import weighted_procrustes
     thresh2 = jnp.float32(cfg.icp_dist_thresh) ** 2
 
     for _ in range(cfg.icp_refine_iters):
@@ -293,7 +308,10 @@ def register_pairs(src: PointCloud, dst: PointCloud,
     if fb == "auto":
         fb = "fused" if jax.default_backend() == "tpu" else "dense"
     if fb == "fused":
-        from pctpu.features.pallas_fpfh import fpfh_fused as _fpfh
+        from pctpu.features.pallas_fpfh import fpfh_fused
+        # the capped voxel clouds are cell-lexsorted (valid prefix x-sorted
+        # up to one leaf), so the exact x-band pruning applies
+        _fpfh = partial(fpfh_fused, x_banded=True, x_slack=cfg.voxel_size)
     else:
         _fpfh = fpfh_dense
 
@@ -324,7 +342,8 @@ def register_pairs(src: PointCloud, dst: PointCloud,
     rr = ransac_registration_batch(
         sdown.points, dst_kp, matches.valid, keys,
         dist_thresh=cfg.ransac_dist,
-        num_hypotheses=cfg.ransac_hypotheses)
+        num_hypotheses=cfg.ransac_hypotheses,
+        m_cap=cfg.ransac_m_cap)
     num_matches = jnp.sum(matches.valid, axis=1).astype(jnp.int32)
 
     backend = cfg.icp_backend
@@ -344,7 +363,7 @@ def register_pairs(src: PointCloud, dst: PointCloud,
             dist_thresh=cfg.icp_dist_thresh, block=2048,
             window_blocks=1, query_tile=2048)
         if cfg.icp_refine_iters > 0:
-            T = _refine_exact_batch(T, src, dst, cfg)
+            T = _refine_exact_batch(T, src, dst, cfg, backend="mega")
         num, rmse = jax.vmap(
             lambda t, s, d: _icp_stats_subsampled(t, s, d, cfg))(
                 T, src, dst)

@@ -158,13 +158,14 @@ def ransac_registration(src_pts: jax.Array, dst_pts: jax.Array,
     return RansacResult(T, inliers, inlier_mask, inliers / n_valid)
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "refine"))
+@partial(jax.jit, static_argnames=("num_hypotheses", "refine", "m_cap"))
 def ransac_registration_batch(src_pts: jax.Array, dst_pts: jax.Array,
                               corr_valid: jax.Array, keys: jax.Array,
                               dist_thresh: float = 4.0,
                               edge_ratio: float = 0.9,
                               num_hypotheses: int = 4096,
-                              refine: bool = True) -> RansacResult:
+                              refine: bool = True,
+                              m_cap: Optional[int] = None) -> RansacResult:
     """Batch-native RANSAC: src/dst correspondence sets [B,M,3], valid
     [B,M], keys [B,2] -> RansacResult with leading batch dims.
 
@@ -173,16 +174,32 @@ def ransac_registration_batch(src_pts: jax.Array, dst_pts: jax.Array,
     (`ops.gather._flat_row_gather`) instead of vmapping XLA's batched
     gather, and the hypothesis scoring is one batched [H,16]x[16,M]
     matmul per pair.
+
+    `m_cap` (static): compact the valid correspondences to the front and
+    keep only the first m_cap — M is usually the site capacity (2048)
+    while mutual-NN matching marks only a few hundred rows valid, so the
+    scoring matmul and refine shrink ~4x for free. When the valid count
+    exceeds the cap, scoring/refine see a prefix subsample (the returned
+    inlier_mask/fitness are over the capped set).
     """
     from pctpu.ops.gather import _flat_row_gather
     b, m, _ = src_pts.shape
     H = num_hypotheses
     thresh2 = jnp.float32(dist_thresh) ** 2
-    n_valid = jnp.maximum(jnp.sum(corr_valid.astype(jnp.float32), axis=1),
-                          1.0)                              # [B]
 
     order = jnp.argsort(jnp.where(corr_valid, 0, 1), axis=1,
                         stable=True).astype(jnp.int32)      # [B,M]
+    if m_cap is not None and m_cap < m:
+        sel = order[:, :m_cap]
+        src_pts = _flat_row_gather(src_pts, sel)
+        dst_pts = _flat_row_gather(dst_pts, sel)
+        corr_valid = _flat_row_gather(corr_valid[..., None], sel)[..., 0]
+        m = m_cap
+        order = jnp.broadcast_to(
+            jnp.arange(m, dtype=jnp.int32)[None], (b, m))
+
+    n_valid = jnp.maximum(jnp.sum(corr_valid.astype(jnp.float32), axis=1),
+                          1.0)                              # [B]
     nv_i = jnp.maximum(jnp.sum(corr_valid.astype(jnp.int32), axis=1), 1)
     u = jax.vmap(lambda k, nv: jax.random.randint(k, (H, 3), 0, nv))(
         keys, nv_i)                                         # [B,H,3]

@@ -630,3 +630,47 @@ def test_fpfh_pallas_unbatched_and_default_normals(rng):
     diff = np.abs(out - ref)
     assert np.mean(diff > 0.5) < 5e-3, float(np.mean(diff > 0.5))
     assert np.mean(diff) < 0.05, float(np.mean(diff))
+
+
+def test_fpfh_pallas_x_banded_exact(rng):
+    """x-band pruning is EXACT on an x-sorted valid prefix: banded ==
+    unbanded bit-for-bit (skipped columns have |dx| > r, so they could
+    never pass the radius test)."""
+    from pctpu.features.fpfh_dense import normals_radius_dense
+    from pctpu.features.pallas_fpfh import fpfh_fused
+
+    b, n = 2, 384
+    pts = rng.uniform(-30, 30, (b, n, 3)).astype(np.float32)
+    n_valid = [300, 384]
+    mask = np.zeros((b, n), bool)
+    for i in range(b):
+        order = np.argsort(pts[i, :n_valid[i], 0])
+        pts[i, :n_valid[i]] = pts[i, :n_valid[i]][order]
+        mask[i, :n_valid[i]] = True
+    pts, mask = jnp.asarray(pts), jnp.asarray(mask)
+    nrm = normals_radius_dense(pts, mask, radius=4.0)
+    kw = dict(mask=mask, normals=nrm, radius=8.0, q_tile=128, db_tile=128,
+              interpret=True)
+    full = np.asarray(fpfh_fused(pts, x_banded=False, **kw))
+    band = np.asarray(fpfh_fused(pts, x_banded=True, **kw))
+    np.testing.assert_array_equal(band, full)
+
+
+def test_fpfh_pallas_x_banded_cell_sorted(rng):
+    """Band pruning stays exact on CELL-sorted input (x monotone only up
+    to one leaf, the voxel pipeline's actual order) given x_slack=leaf."""
+    from pctpu.features.fpfh_dense import normals_radius_dense
+    from pctpu.features.pallas_fpfh import fpfh_fused
+
+    n, leaf = 384, 2.0
+    pts = rng.uniform(-30, 30, (1, n, 3)).astype(np.float32)
+    cells = np.floor((pts[0, :, 0] - pts[0, :, 0].min()) / leaf)
+    pts[0] = pts[0][np.argsort(cells, kind="stable")]  # cell-sorted only
+    pts = jnp.asarray(pts)
+    mask = jnp.ones((1, n), bool)
+    nrm = normals_radius_dense(pts, mask, radius=4.0)
+    kw = dict(mask=mask, normals=nrm, radius=8.0, q_tile=128, db_tile=128,
+              interpret=True)
+    full = np.asarray(fpfh_fused(pts, x_banded=False, **kw))
+    band = np.asarray(fpfh_fused(pts, x_banded=True, x_slack=leaf, **kw))
+    np.testing.assert_array_equal(band, full)

@@ -296,3 +296,45 @@ def test_ransac_batch_matches_single(rng):
         np.testing.assert_allclose(np.asarray(out.T[i]), np.asarray(one.T),
                                    atol=1e-4)
         assert int(out.inliers[i]) == int(one.inliers)
+
+
+def test_refine_exact_mega_matches_xla(rng):
+    """The one-launch mega exact refine == the per-iteration XLA/Pallas
+    refine path on the same strided subsample (r5: the batched pipeline's
+    full-res polish)."""
+    import jax
+    from pctpu.core.cloud import PointCloud
+    from pctpu.register.pipeline import (RegistrationConfig,
+                                         _refine_exact_batch)
+    from pctpu.register.icp import icp_refine_exact_mega_batch
+    from scipy.spatial.transform import Rotation
+
+    b, n = 2, 1024
+    base = rng.uniform(-20, 20, (b, n, 3)).astype(np.float32)
+    Ts = []
+    dsts = []
+    for i in range(b):
+        R = Rotation.from_rotvec(rng.normal(scale=0.02, size=3)).as_matrix()
+        t = rng.normal(scale=0.1, size=3)
+        dsts.append((base[i] @ R.T + t).astype(np.float32))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3], T[:3, 3] = R, t
+        Ts.append(T)
+    src = PointCloud(points=jnp.asarray(base), mask=jnp.ones((b, n), bool))
+    dst = PointCloud(points=jnp.asarray(np.stack(dsts)),
+                     mask=jnp.ones((b, n), bool))
+    T0 = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))
+    cfg = RegistrationConfig(icp_refine_iters=2, refine_subsample=512,
+                             icp_dist_thresh=5.0)
+    stride = max(1, n // cfg.refine_subsample)
+    q = src.points[:, ::stride][:, :cfg.refine_subsample]
+    qm = src.mask[:, ::stride][:, :cfg.refine_subsample]
+    mega = np.asarray(icp_refine_exact_mega_batch(
+        q, qm, dst.points, dst.mask, T0, iters=2,
+        dist_thresh=cfg.icp_dist_thresh, block=512, query_tile=128,
+        interpret=True))
+    ref = np.asarray(_refine_exact_batch(T0, src, dst, cfg, backend="xla"))
+    # both must land on (approximately) the ground-truth transform
+    for i in range(b):
+        np.testing.assert_allclose(mega[i], np.asarray(Ts[i]), atol=5e-2)
+        np.testing.assert_allclose(mega[i], ref[i], atol=5e-2)

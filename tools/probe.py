@@ -158,7 +158,7 @@ def cmd_stages(args):
     from pctpu.register.pipeline import (RegistrationConfig,
                                          _icp_stats_subsampled,
                                          _refine_exact_batch)
-    from pctpu.register.ransac import ransac_registration
+
     B, N = args.batch, args.points
     print("backend:", jax.default_backend(), flush=True)
     srcs, dsts, _ = make_pair_batch(B, N, args.rot_deg)
@@ -176,13 +176,20 @@ def cmd_stages(args):
     bench("normals dense (1 cloud)",
           lambda p, m: normals_radius_dense(p, m, radius=cfg.normal_radius),
           (down.points, down.mask))
+    from pctpu.features.pallas_fpfh import fpfh_fused
     bench("fpfh dense (1 cloud)",
           lambda p, m: fpfh_dense(p, mask=m, radius=cfg.feature_radius,
                                   normal_radius=cfg.normal_radius),
           (down.points, down.mask))
-    feat = jax.jit(lambda p, m: fpfh_dense(
+    bench("fpfh fused+band (1 cloud)",
+          lambda p, m: fpfh_fused(p, mask=m, radius=cfg.feature_radius,
+                                  normal_radius=cfg.normal_radius,
+                                  x_banded=True, x_slack=cfg.voxel_size),
+          (down.points, down.mask))
+    feat = jax.jit(lambda p, m: fpfh_fused(
         p, mask=m, radius=cfg.feature_radius,
-        normal_radius=cfg.normal_radius))
+        normal_radius=cfg.normal_radius, x_banded=True,
+        x_slack=cfg.voxel_size))
     f1, f2 = feat(down.points, down.mask), feat(ddown.points, ddown.mask)
     mm = jax.jit(lambda a, c, ma, mb: jax.vmap(
         lambda ai, ci, mai, mbi: match_features(
@@ -193,12 +200,12 @@ def cmd_stages(args):
             ai, ci, src_mask=mai, dst_mask=mbi, mutual=True))(a, c, ma, mb),
         (f1, f2, down.mask, ddown.mask))
     dst_kp = gather_points(ddown.points, mm.dst_idx)
-    bench(f"ransac vmap H={cfg.ransac_hypotheses}",
-          lambda s, d, v, k: jax.vmap(
-              lambda si, di, vi, ki: ransac_registration(
-                  si, di, corr_valid=vi, key=ki,
-                  dist_thresh=cfg.ransac_dist,
-                  num_hypotheses=cfg.ransac_hypotheses))(s, d, v, k),
+    from pctpu.register.ransac import ransac_registration_batch
+    bench(f"ransac batch H={cfg.ransac_hypotheses} cap={cfg.ransac_m_cap}",
+          lambda s, d, v, k: ransac_registration_batch(
+              s, d, v, k, dist_thresh=cfg.ransac_dist,
+              num_hypotheses=cfg.ransac_hypotheses,
+              m_cap=cfg.ransac_m_cap),
           (down.points, dst_kp, mm.valid, keys))
     rrT = jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, 1, 1))
     bench(f"icp voxel {cfg.icp_voxel_iters}it",
@@ -207,8 +214,9 @@ def cmd_stages(args):
               polish_iters=0, dist_thresh=cfg.icp_dist_thresh, block=2048,
               window_blocks=1, query_tile=2048),
           (down.points, down.mask, ddown.points, ddown.mask, rrT))
-    bench(f"exact refine x{cfg.icp_refine_iters}",
-          lambda t, s, d: _refine_exact_batch(t, s, d, cfg),
+    bench(f"exact refine x{cfg.icp_refine_iters} (mega)",
+          lambda t, s, d: _refine_exact_batch(t, s, d, cfg,
+                                              backend="mega"),
           (rrT, src, dst))
     bench("stats subsampled", lambda t, s, d: jax.vmap(
         lambda ti, si, di: _icp_stats_subsampled(ti, si, di, cfg))(t, s, d),
