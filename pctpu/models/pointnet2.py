@@ -95,19 +95,112 @@ class RuntimeBN(nn.Module):
         return y * scale + bias
 
 
+class FoldedDenseBNRelu(nn.Module):
+    """Dense + BatchNorm(train) + ReLU as ONE matmul — the moment fold.
+
+    The naive chain materializes the pre-BN activation tensor and walks
+    it ~3 more times (stat reduce, normalize, relu) — at window-SA scale
+    that's hundreds of MB of pure VPU/HBM traffic per layer and the
+    measured train-step bottleneck (README roofline). But every BN batch
+    statistic of y = xW is computable from INPUT moments:
+
+        mu_y  = mu_x W                (exact)
+        var_y = diag(W^T Cov(x) W),   Cov = E[xx^T] - mu_x mu_x^T
+
+    so the whole layer collapses to relu(x @ (W k s) + (beta - mu_y k s))
+    with k = rsqrt(var_y + eps): one bf16 MXU matmul whose epilogue XLA
+    fuses, plus an [Cin,N]x[N,Cin] moment matmul over CENTERED rows (Cov
+    from uncentered E[xx^T] - mu mu^T cancels catastrophically in bf16).
+    The pre-BN tensor never exists; the backward differentiates through
+    the fold automatically (true BN gradients also flow through batch
+    statistics). Matches `RuntimeBN` semantics: biased variance,
+    torch-convention runtime momentum on the running stats
+    (`pointnet2_modules.py:9-19` + `pytorch_utils.BatchNorm2d`).
+
+    STATUS — opt-in, default OFF (`SharedMLP(fold_bn=True)` to enable):
+    measured on v5e at the bench shapes the fold is a net LOSS (cls-ssg
+    window 20 -> 39-46 ms/step; semseg 8.9 -> 16-21): the f32
+    upcast+centering copies of the million-row activation tensor plus
+    the moment matmul's backward (all doubled again by the WindowScale
+    remat) cost more than the ~2 BN/relu VPU traversals they remove, and
+    ghost-batch strided subsampling (stat_stride>1) makes it worse still
+    (strided million-row slices lower poorly, 87 ms). Kept as a tested,
+    semantics-equivalent building block for inference folding and for
+    architectures without remat; the README roofline section carries the
+    full measurement story."""
+    features: int
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    stat_stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool, momentum: jax.Array | float = 0.1):
+        cin, cout = x.shape[-1], self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (cin, cout))
+        scale = self.param("scale", nn.initializers.ones, (cout,))
+        bias = self.param("bias", nn.initializers.zeros, (cout,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (cout,))
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (cout,))
+        if train:
+            rows = x.reshape(-1, cin)
+            if self.stat_stride > 1 and rows.shape[0] >= 64 * self.stat_stride:
+                # ghost-batch statistics: a strided row subsample is an
+                # unbiased mean/cov estimator at 1/stride the moment cost
+                # and, crucially, 1/stride the f32 upcast+centering HBM
+                # traffic (the full-row f32 copies were the measured
+                # regression)
+                rows = rows[::self.stat_stride]
+            rows = rows.astype(jnp.float32)
+            n = jnp.float32(rows.shape[0])
+            mu_x = jnp.mean(rows, axis=0)
+            # center BEFORE the moment matmul: Cov(x) = E[cc^T] directly,
+            # so the fast default-precision MXU pass suffices (uncentered
+            # E[xx^T] - mu mu^T loses low-variance channels to
+            # cancellation and needs 6-pass HIGHEST — measured 2x step
+            # regression); one cheap traversal of x buys a single-pass
+            # [Cin,N]x[N,Cin]
+            cen = rows - mu_x
+            cov = jax.lax.dot_general(
+                cen, cen, (((0,), (0,)), ((), ()))) / n
+            mu_y = mu_x @ kernel
+            var_y = jnp.maximum(
+                jnp.sum(kernel * (cov @ kernel), axis=0), 0.0)
+            if not self.is_initializing():
+                m = jnp.asarray(momentum, jnp.float32)
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mu_y
+                ra_var.value = (1.0 - m) * ra_var.value + m * var_y
+        else:
+            mu_y, var_y = ra_mean.value, ra_var.value
+        k = jax.lax.rsqrt(var_y + self.epsilon) * scale
+        weff = (kernel * k[None, :]).astype(self.dtype)
+        beff = (bias - mu_y * k).astype(self.dtype)
+        return nn.relu(x.astype(self.dtype) @ weff + beff)
+
+
 class SharedMLP(nn.Module):
     """The reference's build_shared_mlp (`pointnet2_modules.py:9-19`):
     per-point Dense (1x1 conv) + BN + ReLU per layer.
 
     dtype: computation dtype for the matmuls (bfloat16 doubles MXU
-    throughput; parameters and BN statistics stay float32)."""
+    throughput; parameters and BN statistics stay float32).
+    fold_bn: collapse each Dense+BN+ReLU into one folded matmul
+    (`FoldedDenseBNRelu`); fold_bn=False keeps the unfolded chain
+    (explicit Dense + RuntimeBN) for debugging/parity checks."""
     channels: Sequence[int]
     bn: bool = True
     dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, bn_momentum=0.1):
         for c in self.channels:
+            if self.bn and self.fold_bn:
+                x = FoldedDenseBNRelu(c, dtype=self.dtype)(
+                    x, train, bn_momentum)
+                continue
             x = nn.Dense(c, use_bias=not self.bn, dtype=self.dtype)(x)
             if self.bn:
                 x = RuntimeBN()(x.astype(jnp.float32), train, bn_momentum)

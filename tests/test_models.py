@@ -260,3 +260,125 @@ def test_semseg_learns_segmentation(grouping):
             union[c] += np.sum((pred == c) | (gt == c))
     miou = float(np.mean(inter / np.maximum(union, 1)))
     assert miou >= 0.55, (grouping, miou, inter / np.maximum(union, 1))
+
+
+def test_folded_bn_matches_unfolded(rng):
+    """FoldedDenseBNRelu (one-matmul moment fold) == Dense+RuntimeBN+ReLU
+    to float tolerance in BOTH train mode (batch stats from input
+    moments) and eval mode (running-stat fold), including the running-
+    stat updates themselves."""
+    import jax
+    import jax.numpy as jnp
+    from pctpu.models.pointnet2 import SharedMLP
+
+    x = jnp.asarray(rng.normal(size=(4, 64, 24)).astype(np.float32) * 3.0
+                    + 1.5)
+    folded = SharedMLP((32, 48), fold_bn=True)
+    plain = SharedMLP((32, 48), fold_bn=False)
+    vf = folded.init(jax.random.PRNGKey(0), x, train=True)
+    vp = plain.init(jax.random.PRNGKey(0), x, train=True)
+    # copy the folded params into the plain layout (same kernels/affine)
+    pp = jax.tree_util.tree_map(lambda a: a, vp["params"].unfreeze()
+                                if hasattr(vp["params"], "unfreeze")
+                                else dict(vp["params"]))
+    fp = vf["params"]
+    for i in range(2):
+        pp[f"Dense_{i}"]["kernel"] = fp[f"FoldedDenseBNRelu_{i}"]["kernel"]
+        pp[f"RuntimeBN_{i}"]["scale"] = fp[f"FoldedDenseBNRelu_{i}"]["scale"]
+        pp[f"RuntimeBN_{i}"]["bias"] = fp[f"FoldedDenseBNRelu_{i}"]["bias"]
+
+    yf, mf = folded.apply({"params": fp,
+                           "batch_stats": vf["batch_stats"]}, x,
+                          train=True, bn_momentum=0.3,
+                          mutable=["batch_stats"])
+    yp, mp = plain.apply({"params": pp,
+                          "batch_stats": vp["batch_stats"]}, x,
+                         train=True, bn_momentum=0.3,
+                         mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yp),
+                               atol=2e-4, rtol=2e-4)
+    sf = jax.tree_util.tree_leaves(mf["batch_stats"])
+    sp = jax.tree_util.tree_leaves(mp["batch_stats"])
+    for a, b in zip(sf, sp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)
+
+    # eval mode: running stats fold
+    ye = folded.apply({"params": fp, "batch_stats": mf["batch_stats"]},
+                      x, train=False)
+    yq = plain.apply({"params": pp, "batch_stats": mp["batch_stats"]},
+                     x, train=False)
+    np.testing.assert_allclose(np.asarray(ye), np.asarray(yq),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_pointrcnn_proposals_learn_synthetic_box(rng):
+    """C47 minimal detector: the RPN learns to propose the box on a
+    synthetic scene (ground plane + box cluster), extract_proposals
+    (top-K + nms_rotated) returns a proposal with 3D IoU >= 0.25 vs GT,
+    and RefineNet (roipool3d consumer) produces well-formed residuals."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from pctpu.models.pointnet2 import morton_sort_packed
+    from pctpu.models.pointrcnn import (ProposalNet, RefineNet,
+                                        decode_proposals,
+                                        extract_proposals,
+                                        proposal_targets, rpn_loss)
+    from pctpu.ops.box3d import iou3d
+
+    B, N = 4, 512
+    gt = np.array([1.5, -0.8, 0.8, 3.9, 1.6, 1.6, 0.4], np.float32)
+
+    def scene(r):
+        ground = np.stack([r.uniform(-8, 8, 350), r.uniform(-8, 8, 350),
+                           r.normal(scale=0.05, size=350)], 1)
+        c, s = np.cos(gt[6]), np.sin(gt[6])
+        local = r.uniform(-0.5, 0.5, (N - 350, 3)) * gt[3:6]
+        obj = local @ np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]],
+                               np.float32) + gt[:3]
+        return np.concatenate([ground, obj]).astype(np.float32)
+
+    pc = jnp.asarray(np.stack([scene(np.random.default_rng(i))
+                               for i in range(B)]))
+    pc = morton_sort_packed(pc)
+    gt_boxes = jnp.broadcast_to(jnp.asarray(gt)[None, None], (B, 1, 7))
+
+    model = ProposalNet(npoints=(128, 32))
+    params = model.init(jax.random.PRNGKey(0), pc, train=True)
+    fg, regt = jax.vmap(proposal_targets)(pc, gt_boxes)
+    assert 50 < int(jnp.sum(fg)) < B * N  # targets are sane
+
+    tx = optax.adam(3e-3)
+    opt = tx.init(params["params"])
+
+    @jax.jit
+    def step(p, bs, opt):
+        def loss_fn(pp):
+            (score, reg), mut = model.apply(
+                {"params": pp, "batch_stats": bs}, pc, train=True,
+                mutable=["batch_stats"])
+            l, _ = rpn_loss(score, reg, fg, regt)
+            return l, mut["batch_stats"]
+        (l, bs2), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        up, opt2 = tx.update(g, opt)
+        return optax.apply_updates(p, up), bs2, opt2, l
+
+    p, bs = params["params"], params["batch_stats"]
+    for _ in range(120):
+        p, bs, opt, loss = step(p, bs, opt)
+    score, reg = model.apply({"params": p, "batch_stats": bs}, pc,
+                             train=False)
+    boxes = decode_proposals(pc[..., :3], reg)
+    prop, ps, valid = extract_proposals(boxes[0], score[0], post_nms=8)
+    assert bool(valid[0])
+    best_iou = float(jnp.max(iou3d(prop[:1], gt_boxes[0])))
+    assert best_iou >= 0.25, (best_iou, float(loss))
+
+    # stage 2: roipool3d-based refinement is well-formed
+    ref = RefineNet(cap=32)
+    feats = jnp.ones((N, 4), jnp.float32)
+    rp = ref.init(jax.random.PRNGKey(1), pc[0], feats, prop, train=True)
+    res, conf = ref.apply(rp, pc[0], feats, prop, train=False)
+    assert res.shape == (8, 8) and conf.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(res)))
