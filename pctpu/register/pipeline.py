@@ -70,7 +70,7 @@ class RegistrationConfig:
     # coarse-to-fine. (A banded full-res stage was tried and its cost was
     # ~90% layout prep — batched argsort + gathers — not iterations.)
     normal_radius: float = 4.0      # dense-normals radius (main.py:39-40)
-    icp_voxel_iters: int = 20
+    icp_voxel_iters: int = 14
     icp_refine_iters: int = 2
     refine_subsample: int = 2048
     stats_subsample: int = 1024     # src subsample for inlier/rmse stats
