@@ -203,6 +203,10 @@ class SharedMLP(nn.Module):
                 continue
             x = nn.Dense(c, use_bias=not self.bn, dtype=self.dtype)(x)
             if self.bn:
+                # BN stays f32; casting its output back to bf16 measured
+                # step-time NEUTRAL (r5: 20.7/8.8 vs 20.0/8.9 ms — XLA
+                # already fuses the f32 intermediate), so keep f32
+                # inter-layer precision
                 x = RuntimeBN()(x.astype(jnp.float32), train, bn_momentum)
             x = nn.relu(x)
         return x.astype(jnp.float32)
