@@ -174,31 +174,142 @@ def _wsum_kernel(base_ref, nt_ref, a_ref, db_ref, s33_ref, out_ref,
     out_ref[0] = acc / jnp.maximum(k_eff, 1.0)
 
 
-def _band_tables(xs, radius: float, q_tile: int, db_tile: int,
+def _moments_kernel(base_ref, nt_ref, a_ref, db_ref, feat_ref, out_ref,
+                    *, db_tile: int, r2: float):
+    """Radius-neighborhood moment accumulation (the normals pass):
+    out[q] = sum over db cols within r of [x,y,z,x2,y2,z2,xy,xz,yz,1].
+    Binary weights, self INCLUDED — `normals_radius_dense` semantics.
+    a_ref [1,TQ,4] = (q, |q|^2); db_ref [1,5,Np] = (p^T, |p|^2, pen)."""
+    tq = a_ref.shape[1]
+    bi, i = pl.program_id(0), pl.program_id(1)
+    A = a_ref[0]
+    Aq, q2 = A[:, 0:3], A[:, 3:4]
+    base = base_ref[bi, i]
+
+    def body(j, acc):
+        start = (base + j) * db_tile
+        db = db_ref[0, :, pl.ds(start, db_tile)]           # [5,TN]
+        qp = _DOT(Aq, db[0:3])
+        d2 = q2 + db[3:4] - 2.0 * qp
+        w = ((d2 + db[4:5]) <= r2).astype(jnp.float32)     # [TQ,TN]
+        feat = feat_ref[0, pl.ds(start, db_tile), :]       # [TN,10]
+        return acc + _DOT(w, feat)
+
+    acc0 = jnp.zeros((tq, 10), jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(0, nt_ref[bi, i], body, acc0)
+
+
+@partial(jax.jit, static_argnames=("radius", "q_tile", "db_tile",
+                                  "x_banded", "x_slack", "interpret"))
+def normals_radius_fused(points: jax.Array, mask: jax.Array,
+                         radius: float = 4.0,
+                         q_tile: int = 256, db_tile: int = 512,
+                         x_banded: bool = False, x_slack: float = 0.0,
+                         interpret: bool = False) -> jax.Array:
+    """Radius-covariance normals with the moment pass in ONE Pallas
+    kernel (optionally x-band pruned) — drop-in for
+    `fpfh_dense.normals_radius_dense` ([B,N,3]+[B,N] -> [B,N,3] unit
+    normals, least covariance eigenvector via `ops.eigh3`)."""
+    from pctpu.ops.eigh3 import eigh3
+    b, n, _ = points.shape
+    np_ = _round_up(n, max(q_tile, db_tile))
+    r2 = float(radius) ** 2
+
+    pts = jnp.where(mask[..., None], points, 0.0).astype(jnp.float32)
+    p = jnp.pad(pts, ((0, 0), (0, np_ - n), (0, 0)))
+    p2 = jnp.sum(p * p, axis=-1)
+    amat = jnp.concatenate([p, p2[..., None]], axis=-1)     # [B,Np,4]
+    col_valid = ((jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1) < n)
+                 & jnp.pad(mask, ((0, 0), (0, np_ - n))))
+    dbmat = jnp.concatenate([
+        jnp.swapaxes(p, 1, 2), p2[:, None, :],
+        jnp.where(col_valid, 0.0, BIG)[:, None, :]], axis=1)  # [B,5,Np]
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    feats = jnp.stack([x, y, z, x * x, y * y, z * z,
+                       x * y, x * z, y * z,
+                       col_valid.astype(jnp.float32)
+                       * jnp.ones_like(x)], axis=-1)        # [B,Np,10]
+
+    n_tiles = np_ // db_tile
+    nq = np_ // q_tile
+    if x_banded:
+        base, nt = _band_tables(p[..., 0], col_valid, float(radius),
+                                q_tile, db_tile, slack=x_slack)
+    else:
+        base = jnp.zeros((b, nq), jnp.int32)
+        nt = jnp.full((b, nq), n_tiles, jnp.int32)
+
+    ms = pl.ANY if interpret else pltpu.VMEM
+
+    def qspec(c):
+        return pl.BlockSpec((1, q_tile, c),
+                            lambda bi, i, base, nt: (bi, i, 0),
+                            memory_space=ms)
+
+    def dbspec(r, c):
+        return pl.BlockSpec((1, r, c), lambda bi, i, base, nt: (bi, 0, 0),
+                            memory_space=ms)
+
+    mom = pl.pallas_call(
+        partial(_moments_kernel, db_tile=db_tile, r2=r2),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, nq),
+            in_specs=[qspec(4), dbspec(5, np_), dbspec(np_, 10)],
+            out_specs=qspec(10),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, np_, 10), jnp.float32),
+        interpret=interpret,
+    )(base, nt, amat, dbmat, feats)[:, :n]
+
+    cnt = jnp.maximum(mom[..., 9], 1.0)
+    mu = mom[..., 0:3] / cnt[..., None]
+    exx = mom[..., 3:9] / cnt[..., None]
+    c00 = exx[..., 0] - mu[..., 0] * mu[..., 0]
+    c11 = exx[..., 1] - mu[..., 1] * mu[..., 1]
+    c22 = exx[..., 2] - mu[..., 2] * mu[..., 2]
+    c01 = exx[..., 3] - mu[..., 0] * mu[..., 1]
+    c02 = exx[..., 4] - mu[..., 0] * mu[..., 2]
+    c12 = exx[..., 5] - mu[..., 1] * mu[..., 2]
+    C = jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c01, c11, c12], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1)], axis=-2)
+    _, vecs = eigh3(C)
+    nrm = vecs[..., :, 0]
+    return nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+
+
+def _band_tables(xs, valid, radius: float, q_tile: int, db_tile: int,
                  slack: float = 0.0):
     """Per-(batch, query-tile) [base db-tile, db-tile count) covering all
-    columns with x within `radius` of the tile's x-range.
+    VALID columns with x within `radius` of the tile's x-range.
 
-    xs [B,Np]: x per column, BIG at invalid/pad rows. The valid prefix
-    must be nondecreasing up to local inversions of at most `slack`
-    (voxel clouds are CELL-lexsorted: x is monotone up to one leaf —
-    pass slack=leaf). Binary search runs on the running max M=cummax(xs)
-    (exactly nondecreasing): i < lo has xs<=M<a, and i >= hi has
-    xs >= M - slack > b — no true neighbor is ever skipped."""
+    xs [B,Np] x per column, valid [B,Np]. The VALID columns must be
+    nondecreasing in x up to local inversions of at most `slack` (voxel
+    clouds are CELL-lexsorted: monotone up to one leaf — pass
+    slack=leaf); invalid/pad columns may sit anywhere with any value —
+    they are band-NEUTRAL (the distance-kernel penalty already excludes
+    them, so wrongly visiting or skipping one is harmless). Binary
+    search runs on M = cummax(valid ? x : -BIG) (exactly nondecreasing):
+    for i < lo every valid j <= i has x[j] <= M[i] < tmin - r, and for
+    valid i >= hi, x[i] >= M[i] - slack > tmax + r — no true neighbor is
+    ever skipped."""
     b, np_ = xs.shape
     n_tiles = np_ // db_tile
     xt = xs.reshape(b, -1, q_tile)
-    valid = xt < BIG / 2
-    tmin = jnp.min(jnp.where(valid, xt, BIG), axis=2)
-    tmax = jnp.max(jnp.where(valid, xt, -BIG), axis=2)
-    m = jax.lax.cummax(xs, axis=1)
+    vt = valid.reshape(b, -1, q_tile)
+    tmin = jnp.min(jnp.where(vt, xt, BIG), axis=2)
+    tmax = jnp.max(jnp.where(vt, xt, -BIG), axis=2)
+    m = jax.lax.cummax(jnp.where(valid, xs, -BIG), axis=1)
     lo = jax.vmap(jnp.searchsorted)(m, tmin - radius).astype(jnp.int32)
     hi = jax.vmap(partial(jnp.searchsorted, side="right"))(
         m, tmax + radius + slack).astype(jnp.int32)
     base = lo // db_tile
     nt = -(-(hi - base * db_tile) // db_tile)
     nt = jnp.clip(nt, 0, n_tiles - base)
-    nt = jnp.where(jnp.any(valid, axis=2), nt, 0)
+    nt = jnp.where(jnp.any(vt, axis=2), nt, 0)
     return base.astype(jnp.int32), nt.astype(jnp.int32)
 
 
@@ -235,9 +346,8 @@ def _fpfh_fused_impl(points, mask, normals, radius: float,
     n_tiles = np_ // db_tile
     nq = np_ // q_tile
     if x_banded:
-        xs = jnp.where(col_valid, p[..., 0], BIG)
-        base, nt = _band_tables(xs, float(radius), q_tile, db_tile,
-                                slack=x_slack)
+        base, nt = _band_tables(p[..., 0], col_valid, float(radius),
+                                q_tile, db_tile, slack=x_slack)
     else:
         base = jnp.zeros((b, nq), jnp.int32)
         nt = jnp.full((b, nq), n_tiles, jnp.int32)
@@ -314,8 +424,10 @@ def fpfh_fused(points: jax.Array,
     if mask is None:
         mask = jnp.ones((b, n), bool)
     if normals is None:
-        from pctpu.features.fpfh_dense import normals_radius_dense
-        normals = normals_radius_dense(points, mask, radius=normal_radius)
+        normals = normals_radius_fused(
+            points, mask, radius=float(normal_radius), q_tile=q_tile,
+            db_tile=db_tile, x_banded=x_banded, x_slack=float(x_slack),
+            interpret=interpret)
     out = _fpfh_fused_impl(points, mask, normals, float(radius),
                            q_tile, db_tile, x_banded, float(x_slack),
                            interpret)

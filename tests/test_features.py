@@ -674,3 +674,26 @@ def test_fpfh_pallas_x_banded_cell_sorted(rng):
     full = np.asarray(fpfh_fused(pts, x_banded=False, **kw))
     band = np.asarray(fpfh_fused(pts, x_banded=True, x_slack=leaf, **kw))
     np.testing.assert_array_equal(band, full)
+
+
+def test_normals_radius_fused_matches_dense(rng):
+    """The Pallas moments normals (features/pallas_fpfh.py, r5) == the
+    XLA dense radius-covariance normals, banded and unbanded, up to the
+    sign ambiguity of the least eigenvector."""
+    from pctpu.features.fpfh_dense import normals_radius_dense
+    from pctpu.features.pallas_fpfh import normals_radius_fused
+
+    b, n = 2, 384
+    pts = rng.uniform(-20, 20, (b, n, 3)).astype(np.float32)
+    for i in range(b):
+        pts[i] = pts[i][np.argsort(pts[i, :, 0])]
+    pts = jnp.asarray(pts)
+    mask = jnp.asarray(rng.uniform(size=(b, n)) > 0.1)
+    ref = np.asarray(normals_radius_dense(pts, mask, radius=6.0))
+    for banded in (False, True):
+        out = np.asarray(normals_radius_fused(
+            pts, mask, radius=6.0, q_tile=128, db_tile=128,
+            x_banded=banded, interpret=True))
+        m = np.asarray(mask)
+        dots = np.abs(np.sum(ref * out, axis=-1))[m]
+        assert np.min(dots) > 0.999, (banded, float(np.min(dots)))
