@@ -424,10 +424,18 @@ def fpfh_fused(points: jax.Array,
     if mask is None:
         mask = jnp.ones((b, n), bool)
     if normals is None:
-        normals = normals_radius_fused(
-            points, mask, radius=float(normal_radius), q_tile=q_tile,
-            db_tile=db_tile, x_banded=x_banded, x_slack=float(x_slack),
-            interpret=interpret)
+        # default normals stay on the XLA dense path: the Pallas moments
+        # kernel (`normals_radius_fused`) is numerically equivalent on
+        # well-conditioned neighborhoods, but on DEGENERATE ones (two
+        # near-equal small covariance eigenvalues, e.g. thin cylinders)
+        # the least eigenvector is ill-defined and sub-1e-5 moment
+        # differences flip it arbitrarily — measured on the SLAM bench
+        # that perturbation cost 6 of 8 accepted loop closures. Pass
+        # normals=normals_radius_fused(...) explicitly for the banded
+        # fast path when neighborhoods are known well-conditioned.
+        from pctpu.features.fpfh_dense import normals_radius_dense
+        normals = normals_radius_dense(points, mask,
+                                       radius=float(normal_radius))
     out = _fpfh_fused_impl(points, mask, normals, float(radius),
                            q_tile, db_tile, x_banded, float(x_slack),
                            interpret)

@@ -427,7 +427,14 @@ def run_odometry(scans: Sequence[np.ndarray],
                 normal_radius=4.0 * leaf, ransac_dist=3.0 * leaf,
                 ransac_hypotheses=cfg.closure_ransac_hypotheses,
                 icp_dist_thresh=5.0 * leaf,
-                downsample_capacity=cfg.closure_reg_capacity)
+                downsample_capacity=cfg.closure_reg_capacity,
+                # closure inits feed the pose graph: pin the accuracy-
+                # oriented ICP budget here, independent of the throughput
+                # defaults the bench pipeline tunes (r5: the 20->14 voxel-
+                # iter trim silently degraded closure quality enough that
+                # graph optimization stopped improving ATE)
+                icp_voxel_iters=32, icp_refine_iters=2,
+                refine_subsample=4096)
             nb = max(1, 1 << (len(cands) - 1).bit_length())  # pow2 bucket
             padded = cands + [cands[-1]] * (nb - len(cands))
             ib = jnp.asarray([kf[b] for _, b in padded], jnp.int32)

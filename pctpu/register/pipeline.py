@@ -315,6 +315,9 @@ def register_pairs(src: PointCloud, dst: PointCloud,
     else:
         _fpfh = fpfh_dense
 
+    # (measured r5: fusing src+dst preprocess into one [2B] batch is
+    # slightly WORSE — the concat/split copies outweigh the saved
+    # kernel launches; keep two calls)
     def preprocess(pc: PointCloud):
         down, nv = voxel_downsample_capped(pc.points, pc.mask,
                                            cfg.voxel_size,
