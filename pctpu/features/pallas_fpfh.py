@@ -174,17 +174,28 @@ def _wsum_kernel(base_ref, nt_ref, a_ref, db_ref, s33_ref, out_ref,
     out_ref[0] = acc / jnp.maximum(k_eff, 1.0)
 
 
-def _moments_kernel(base_ref, nt_ref, a_ref, db_ref, feat_ref, out_ref,
+def _moments_kernel(base_ref, nt_ref, cent_ref, a_ref, db_ref, out_ref,
                     *, db_tile: int, r2: float):
     """Radius-neighborhood moment accumulation (the normals pass):
-    out[q] = sum over db cols within r of [x,y,z,x2,y2,z2,xy,xz,yz,1].
-    Binary weights, self INCLUDED — `normals_radius_dense` semantics.
-    a_ref [1,TQ,4] = (q, |q|^2); db_ref [1,5,Np] = (p^T, |p|^2, pen)."""
+    out[q] = sum over db cols within r of [x,y,z,x2,y2,z2,xy,xz,yz,1]
+    of coordinates SHIFTED by the query tile's center (cent_ref
+    [B,nq,3], SMEM). The shift is what makes this MORE accurate than the
+    XLA dense path: second moments of raw LiDAR coordinates lose ~eps *
+    |p|^2 (~2e-5 m^2) to cancellation in E[xx^T] - mu mu^T — on
+    degenerate neighborhoods (near-equal small eigenvalues) that noise
+    decides the least eigenvector; shifted moments keep |x'| ~ radius so
+    the error shrinks by (extent/radius)^2. Binary weights, self
+    INCLUDED — `normals_radius_dense` semantics (covariance is
+    translation-invariant). a_ref [1,TQ,4] = (q, |q|^2);
+    db_ref [1,5,Np] = (p^T, |p|^2, pen)."""
     tq = a_ref.shape[1]
     bi, i = pl.program_id(0), pl.program_id(1)
     A = a_ref[0]
     Aq, q2 = A[:, 0:3], A[:, 3:4]
     base = base_ref[bi, i]
+    cx = cent_ref[bi, i, 0]
+    cy = cent_ref[bi, i, 1]
+    cz = cent_ref[bi, i, 2]
 
     def body(j, acc):
         start = (base + j) * db_tile
@@ -192,8 +203,20 @@ def _moments_kernel(base_ref, nt_ref, a_ref, db_ref, feat_ref, out_ref,
         qp = _DOT(Aq, db[0:3])
         d2 = q2 + db[3:4] - 2.0 * qp
         w = ((d2 + db[4:5]) <= r2).astype(jnp.float32)     # [TQ,TN]
-        feat = feat_ref[0, pl.ds(start, db_tile), :]       # [TN,10]
-        return acc + _DOT(w, feat)
+        x = db[0:1] - cx                                   # [1,TN] shifted
+        y = db[1:2] - cy
+        z = db[2:3] - cz
+        dead = db[4:5] > 1.0                               # pen row: invalid
+        one = jnp.where(dead, 0.0, 1.0)
+        x = jnp.where(dead, 0.0, x)
+        y = jnp.where(dead, 0.0, y)
+        z = jnp.where(dead, 0.0, z)
+        feat10 = jnp.concatenate([
+            x, y, z, x * x, y * y, z * z, x * y, x * z, y * z, one],
+            axis=0)                                        # [10,TN]
+        return acc + jax.lax.dot_general(
+            w, feat10, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     acc0 = jnp.zeros((tq, 10), jnp.float32)
     out_ref[0] = jax.lax.fori_loop(0, nt_ref[bi, i], body, acc0)
@@ -224,14 +247,13 @@ def normals_radius_fused(points: jax.Array, mask: jax.Array,
     dbmat = jnp.concatenate([
         jnp.swapaxes(p, 1, 2), p2[:, None, :],
         jnp.where(col_valid, 0.0, BIG)[:, None, :]], axis=1)  # [B,5,Np]
-    x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    feats = jnp.stack([x, y, z, x * x, y * y, z * z,
-                       x * y, x * z, y * z,
-                       col_valid.astype(jnp.float32)
-                       * jnp.ones_like(x)], axis=-1)        # [B,Np,10]
 
     n_tiles = np_ // db_tile
     nq = np_ // q_tile
+    # per-query-tile moment origin: mean of the tile's valid points
+    vt = col_valid.reshape(b, nq, q_tile).astype(jnp.float32)
+    cent = (jnp.sum(p.reshape(b, nq, q_tile, 3) * vt[..., None], axis=2)
+            / jnp.maximum(jnp.sum(vt, axis=2), 1.0)[..., None])  # [B,nq,3]
     if x_banded:
         base, nt = _band_tables(p[..., 0], col_valid, float(radius),
                                 q_tile, db_tile, slack=x_slack)
@@ -243,24 +265,25 @@ def normals_radius_fused(points: jax.Array, mask: jax.Array,
 
     def qspec(c):
         return pl.BlockSpec((1, q_tile, c),
-                            lambda bi, i, base, nt: (bi, i, 0),
+                            lambda bi, i, base, nt, cent: (bi, i, 0),
                             memory_space=ms)
 
     def dbspec(r, c):
-        return pl.BlockSpec((1, r, c), lambda bi, i, base, nt: (bi, 0, 0),
+        return pl.BlockSpec((1, r, c),
+                            lambda bi, i, base, nt, cent: (bi, 0, 0),
                             memory_space=ms)
 
     mom = pl.pallas_call(
         partial(_moments_kernel, db_tile=db_tile, r2=r2),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, nq),
-            in_specs=[qspec(4), dbspec(5, np_), dbspec(np_, 10)],
+            in_specs=[qspec(4), dbspec(5, np_)],
             out_specs=qspec(10),
         ),
         out_shape=jax.ShapeDtypeStruct((b, np_, 10), jnp.float32),
         interpret=interpret,
-    )(base, nt, amat, dbmat, feats)[:, :n]
+    )(base, nt, cent, amat, dbmat)[:, :n]
 
     cnt = jnp.maximum(mom[..., 9], 1.0)
     mu = mom[..., 0:3] / cnt[..., None]
@@ -424,15 +447,18 @@ def fpfh_fused(points: jax.Array,
     if mask is None:
         mask = jnp.ones((b, n), bool)
     if normals is None:
-        # default normals stay on the XLA dense path: the Pallas moments
-        # kernel (`normals_radius_fused`) is numerically equivalent on
-        # well-conditioned neighborhoods, but on DEGENERATE ones (two
-        # near-equal small covariance eigenvalues, e.g. thin cylinders)
-        # the least eigenvector is ill-defined and sub-1e-5 moment
-        # differences flip it arbitrarily — measured on the SLAM bench
-        # that perturbation cost 6 of 8 accepted loop closures. Pass
-        # normals=normals_radius_fused(...) explicitly for the banded
-        # fast path when neighborhoods are known well-conditioned.
+        # default normals stay on the XLA dense path. The Pallas
+        # shifted-moments kernel (`normals_radius_fused`) is MORE
+        # accurate on well-conditioned neighborhoods (tile-center
+        # shifted second moments kill the E[xx^T]-mu mu^T cancellation)
+        # and +30 pairs/s, but on DEGENERATE neighborhoods (near-equal
+        # small covariance eigenvalues — thin cylinders) the least
+        # eigenvector is mathematically ill-defined and the two
+        # implementations resolve it differently; SLAM closure FPFH
+        # matching measurably depends on the dense path's specific
+        # resolution (8 accepted closures vs 2-3 with either fused
+        # variant). Pass normals=normals_radius_fused(...) explicitly
+        # when neighborhoods are known well-conditioned.
         from pctpu.features.fpfh_dense import normals_radius_dense
         normals = normals_radius_dense(points, mask,
                                        radius=float(normal_radius))

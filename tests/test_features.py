@@ -677,23 +677,35 @@ def test_fpfh_pallas_x_banded_cell_sorted(rng):
 
 
 def test_normals_radius_fused_matches_dense(rng):
-    """The Pallas moments normals (features/pallas_fpfh.py, r5) == the
-    XLA dense radius-covariance normals, banded and unbanded, up to the
-    sign ambiguity of the least eigenvector."""
+    """The Pallas shifted-moments normals (features/pallas_fpfh.py, r5)
+    == the XLA dense radius-covariance normals AND the analytic surface
+    normal on well-conditioned geometry (a tilted plane with scattered
+    invalid rows), banded and unbanded. (Random-uniform blobs are NOT a
+    valid oracle: their neighborhoods are near-isotropic, the least
+    eigenvector is ill-defined, and any two correct implementations
+    disagree there.)"""
     from pctpu.features.fpfh_dense import normals_radius_dense
     from pctpu.features.pallas_fpfh import normals_radius_fused
 
     b, n = 2, 384
-    pts = rng.uniform(-20, 20, (b, n, 3)).astype(np.float32)
+    g = rng.uniform(-20, 20, (b, n, 2)).astype(np.float32)
+    pts = np.stack([g[..., 0], g[..., 1],
+                    0.05 * g[..., 0] + 0.1 * g[..., 1]
+                    + rng.normal(scale=0.01, size=(b, n))],
+                   axis=-1).astype(np.float32)
     for i in range(b):
         pts[i] = pts[i][np.argsort(pts[i, :, 0])]
     pts = jnp.asarray(pts)
     mask = jnp.asarray(rng.uniform(size=(b, n)) > 0.1)
+    m = np.asarray(mask)
+    true_n = np.array([-0.05, -0.1, 1.0])
+    true_n /= np.linalg.norm(true_n)
     ref = np.asarray(normals_radius_dense(pts, mask, radius=6.0))
     for banded in (False, True):
         out = np.asarray(normals_radius_fused(
             pts, mask, radius=6.0, q_tile=128, db_tile=128,
             x_banded=banded, interpret=True))
-        m = np.asarray(mask)
         dots = np.abs(np.sum(ref * out, axis=-1))[m]
         assert np.min(dots) > 0.999, (banded, float(np.min(dots)))
+        dt = np.abs(out @ true_n)[m]
+        assert np.min(dt) > 0.99, (banded, float(np.min(dt)))
